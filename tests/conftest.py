@@ -1,0 +1,32 @@
+"""Test configuration: force CPU backend with a virtual 8-device mesh.
+
+SURVEY §6.2: tests run on CPU for determinism/speed; sharding tests use
+xla_force_host_platform_device_count=8. Set TPUSLAM_TEST_TPU=1 to run the
+suite against the real chip instead.
+"""
+
+import os
+
+if not os.environ.get("TPUSLAM_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"  # env ships JAX_PLATFORMS=axon; override
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np
+import pytest
+
+if not os.environ.get("TPUSLAM_TEST_TPU"):
+    # Some installed pytest plugins import jax before this conftest runs, so
+    # the env var alone is not enough; update the config too (safe as long as
+    # no computation has touched the backend yet).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
