@@ -1,0 +1,183 @@
+"""Procedural synthetic SLAM scenes (SURVEY §6.2 'integration: synthetic').
+
+Generates a 3D wireframe scene (line segments + points), a smooth camera
+trajectory, and per-frame observations:
+
+- geometric observations (projected 2D segments/pixels, bypassing the
+  detector) for back-end and tracking tests with exact ground truth;
+- rendered grayscale images (anti-aliased line drawing) for detector (LSD)
+  and descriptor (LBD) tests, where cv2 is the LSD oracle.
+
+Datasets are not present on disk in this environment (SURVEY §6.2), so this
+module doubles as the test-time stand-in for TUM/EuRoC/KITTI sequences.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from tpuslam.geometry.camera import Intrinsics
+
+
+class SyntheticScene(NamedTuple):
+    segments: np.ndarray  # (S, 2, 3) 3D segment endpoints (world)
+    points: np.ndarray  # (Q, 3) 3D points (world)
+    poses: np.ndarray  # (F, 4, 4) ground-truth T_cw per frame
+    cam: Intrinsics
+
+
+def make_wireframe_scene(
+    rng: np.random.Generator,
+    n_segments: int = 120,
+    n_points: int = 200,
+    n_frames: int = 60,
+    cam: Intrinsics | None = None,
+    motion_scale: float = 0.04,
+) -> SyntheticScene:
+    """Box-room wireframe: axis-aligned-ish segments on walls of a room the
+    camera moves through, plus scattered points. Camera follows a smooth
+    random walk looking roughly at the room center."""
+    if cam is None:
+        cam = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0, width=640, height=480)
+
+    # Room: segments distributed in a shell in front of the camera start.
+    centers = np.stack(
+        [
+            rng.uniform(-4, 4, n_segments),
+            rng.uniform(-3, 3, n_segments),
+            rng.uniform(4, 12, n_segments),
+        ],
+        axis=-1,
+    )
+    # Mix of axis-aligned and random directions (structured scenes favor
+    # axis-aligned lines; keeps LSD detection realistic later).
+    dirs = rng.normal(size=(n_segments, 3))
+    axis_mask = rng.random(n_segments) < 0.6
+    axes = np.eye(3)[rng.integers(0, 3, n_segments)]
+    dirs = np.where(axis_mask[:, None], axes, dirs)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12
+    half = rng.uniform(0.4, 1.6, (n_segments, 1))
+    segments = np.stack([centers - dirs * half, centers + dirs * half], axis=1)
+
+    points = np.stack(
+        [
+            rng.uniform(-4, 4, n_points),
+            rng.uniform(-3, 3, n_points),
+            rng.uniform(4, 12, n_points),
+        ],
+        axis=-1,
+    )
+
+    # Smooth trajectory: integrate a low-pass-filtered random velocity.
+    vels = rng.normal(size=(n_frames, 6)) * motion_scale
+    for i in range(1, n_frames):
+        vels[i] = 0.9 * vels[i - 1] + 0.1 * vels[i]
+    vels[:, 3:] *= 0.3  # gentler rotation
+    from tpuslam.geometry.se3 import se3_exp  # local import to keep numpy-only API thin
+
+    import jax.numpy as jnp
+
+    T = np.eye(4, dtype=np.float32)
+    poses = []
+    for i in range(n_frames):
+        dT = np.asarray(se3_exp(jnp.asarray(vels[i], dtype=jnp.float32)))
+        T = (dT @ T).astype(np.float32)
+        poses.append(T.copy())
+    return SyntheticScene(
+        segments=segments.astype(np.float32),
+        points=points.astype(np.float32),
+        poses=np.stack(poses),
+        cam=cam,
+    )
+
+
+class FrameObservations(NamedTuple):
+    """Geometric (detector-bypassing) observations of one frame."""
+
+    seg_uv: np.ndarray  # (S, 2, 2) projected segment endpoints (px)
+    seg_visible: np.ndarray  # (S,) bool — both endpoints in front & in image
+    pt_uv: np.ndarray  # (Q, 2)
+    pt_visible: np.ndarray  # (Q,) bool
+
+
+def observe_frame(
+    scene: SyntheticScene,
+    frame: int,
+    noise_px: float = 0.0,
+    rng: np.random.Generator | None = None,
+    min_z: float = 0.2,
+    margin: float = 0.0,
+) -> FrameObservations:
+    cam = scene.cam
+    T = scene.poses[frame]
+    R, t = T[:3, :3], T[:3, 3]
+
+    def project(X):  # (N, 3) world -> (N, 2) px, (N,) z
+        Xc = X @ R.T + t
+        z = Xc[:, 2]
+        uv = np.stack(
+            [
+                cam.fx * Xc[:, 0] / np.maximum(z, 1e-9) + cam.cx,
+                cam.fy * Xc[:, 1] / np.maximum(z, 1e-9) + cam.cy,
+            ],
+            axis=-1,
+        )
+        return uv, z
+
+    p_uv, p_z = project(scene.segments[:, 0])
+    q_uv, q_z = project(scene.segments[:, 1])
+    seg_uv = np.stack([p_uv, q_uv], axis=1)
+
+    def in_image(uv):
+        return (
+            (uv[:, 0] >= margin)
+            & (uv[:, 0] < cam.width - margin)
+            & (uv[:, 1] >= margin)
+            & (uv[:, 1] < cam.height - margin)
+        )
+
+    seg_visible = (p_z > min_z) & (q_z > min_z) & in_image(p_uv) & in_image(q_uv)
+
+    pt_uv, pt_z = project(scene.points)
+    pt_visible = (pt_z > min_z) & in_image(pt_uv)
+
+    if noise_px > 0:
+        assert rng is not None
+        seg_uv = seg_uv + rng.normal(size=seg_uv.shape) * noise_px
+        pt_uv = pt_uv + rng.normal(size=pt_uv.shape) * noise_px
+
+    return FrameObservations(
+        seg_uv=seg_uv.astype(np.float32),
+        seg_visible=seg_visible,
+        pt_uv=pt_uv.astype(np.float32),
+        pt_visible=pt_visible,
+    )
+
+
+def render_wireframe_image(
+    scene: SyntheticScene,
+    frame: int,
+    bg: float = 200.0,
+    fg: float = 40.0,
+    thickness: int = 2,
+    noise: float = 2.0,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Render a grayscale uint8 image of the wireframe via cv2 line drawing
+    (test fixture for the LSD/LBD kernels; cv2 is a test-only dependency)."""
+    import cv2
+
+    cam = scene.cam
+    obs = observe_frame(scene, frame)
+    img = np.full((cam.height, cam.width), bg, np.float32)
+    for s in range(scene.segments.shape[0]):
+        if not obs.seg_visible[s]:
+            continue
+        p = tuple(np.round(obs.seg_uv[s, 0]).astype(int))
+        q = tuple(np.round(obs.seg_uv[s, 1]).astype(int))
+        cv2.line(img, p, q, float(fg), thickness, lineType=cv2.LINE_AA)
+    if noise > 0 and rng is not None:
+        img = img + rng.normal(size=img.shape) * noise
+    return np.clip(img, 0, 255).astype(np.uint8)

@@ -1,0 +1,205 @@
+"""TPU-native LSD-style line segment detector (SURVEY §2 L1, §5 'LSD').
+
+The reference wraps OpenCV's sequential region-growing LSD. Region growing is
+inherently serial, so this is a data-parallel reformulation (SURVEY §9.4
+risk 1) with the same ingredients — level-line angle field, 22.5 deg angular
+tolerance, magnitude threshold rho = q / sin(tol), rectangle fit by weighted
+moments, density validation — but grown via *connected-component labeling*:
+
+1. gradient magnitude + level-line angle per pixel (kernels/image.py)
+2. support mask: mag > rho
+3. connectivity: 8-neighbors whose level-line angles agree within tol
+4. labels = min-label flood: alternate 3x3 masked min-propagation with
+   pointer jumping (label <- label[label]), O(log max_segment_len) rounds —
+   the classic GPU/TPU connected-components scheme, all dense vector ops
+5. per-component weighted moments via jax.ops.segment_sum over flat labels;
+   principal direction from the 2x2 second-moment matrix (rectangle fit)
+6. endpoints from per-component min/max of the projection onto the principal
+   direction (segment_min/max)
+7. validation: support count, length, density (count / (length * width)) —
+   the a-contrario NFA test collapses to these geometric criteria here
+   (detector differences are absorbed at trajectory level, SURVEY §9.4)
+
+Outputs fixed-capacity arrays: (K, 2, 2) endpoints + masks, top-K by support
+size. Oracle for tests: cv2.createLineSegmentDetector (SURVEY §6.2).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.kernels.image import image_gradients
+
+
+class LSDParams(NamedTuple):
+    angle_tol: float = math.pi / 8  # 22.5 deg
+    quant: float = 2.0  # gradient quantization error bound (on [0,255] scale)
+    min_length: float = 15.0  # px, at detection level
+    min_support: int = 20  # pixels in component
+    min_density: float = 0.5  # support / (length * width)
+    max_width: float = 4.0  # px, reject blobs
+    n_iters: int = 10  # propagate+jump rounds (caps segment length ~2^n)
+
+
+class DetectedLines(NamedTuple):
+    endpoints: jnp.ndarray  # (K, 2, 2) [[x0,y0],[x1,y1]] in px
+    valid: jnp.ndarray  # (K,) bool
+    response: jnp.ndarray  # (K,) support pixel count
+    angle: jnp.ndarray  # (K,) segment direction angle
+    width: jnp.ndarray  # (K,) rectangle width
+    midpoint: jnp.ndarray  # (K, 2)
+    length: jnp.ndarray  # (K,)
+
+
+def _angle_close(a: jnp.ndarray, b: jnp.ndarray, tol: float) -> jnp.ndarray:
+    d = jnp.abs(a - b)
+    d = jnp.minimum(d, 2.0 * jnp.pi - d)
+    return d < tol
+
+
+def _shift(x: jnp.ndarray, dy: int, dx: int):
+    """Shift a 2D array by (dy, dx). Uses roll; wrap-around artifacts are
+    blocked by the 1px zero-magnitude border from image_gradients (border
+    pixels are never in the support mask, so masked compat kills them)."""
+    return jnp.roll(x, (dy, dx), axis=(0, 1))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSDParams()):
+    """Detect line segments in an (H, W) grayscale f32 image in [0, 1].
+
+    Returns DetectedLines with capacity ``max_lines`` (mask-padded).
+    """
+    H, W = img.shape
+    N = H * W
+    gx, gy, mag, angle = image_gradients(img * 255.0)  # LSD thresholds on 0..255
+
+    rho = params.quant / math.sin(params.angle_tol)
+    support = mag > rho
+
+    # --- connected components by masked min-label propagation -------------
+    idx = jnp.arange(N, dtype=jnp.int32).reshape(H, W)
+    BIG = jnp.int32(N)  # sentinel for non-support
+    labels = jnp.where(support, idx, BIG)
+
+    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    # Pre-compute neighbor compatibility masks once (they don't change).
+    compat = [
+        support & _shift(support, dy, dx) & _angle_close(angle, _shift(angle, dy, dx), params.angle_tol)
+        for dy, dx in offsets
+    ]
+
+    def jump(lf):
+        """One pointer-jumping hop: label <- min(label, label-of-label)."""
+        lut = jnp.append(lf, BIG)  # slot N = sentinel
+        return jnp.minimum(lut[jnp.minimum(lf, N)], lf)
+
+    def body(labels, _):
+        m = labels
+        for (dy, dx), ok in zip(offsets, compat):
+            m = jnp.minimum(m, jnp.where(ok, _shift(labels, dy, dx), BIG))
+        lf = m.reshape(-1)
+        lf = jump(jump(lf))  # doubles reachable chain length per round
+        return lf.reshape(H, W), None
+
+    labels, _ = jax.lax.scan(body, labels, None, length=params.n_iters)
+
+    flat_labels = jnp.where(labels.reshape(-1) < BIG, labels.reshape(-1), N)
+
+    # --- per-component weighted moments (segment_sum over N+1 bins) -------
+    ys, xs = jnp.divmod(jnp.arange(N, dtype=jnp.int32), W)
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    w = jnp.where(support.reshape(-1), mag.reshape(-1), 0.0)
+
+    def seg(d):
+        return jax.ops.segment_sum(d, flat_labels, N + 1)
+
+    count = seg(jnp.where(support.reshape(-1), 1.0, 0.0))
+    sw = seg(w)
+    sx = seg(w * xs)
+    sy = seg(w * ys)
+    sxx = seg(w * xs * xs)
+    syy = seg(w * ys * ys)
+    sxy = seg(w * xs * ys)
+
+    # --- top-K components by support count --------------------------------
+    count = count.at[N].set(0.0)
+    resp, comp_ids = jax.lax.top_k(count, max_lines)  # (K,)
+
+    csw = jnp.maximum(sw[comp_ids], 1e-6)
+    cx = sx[comp_ids] / csw
+    cy = sy[comp_ids] / csw
+    # central second moments
+    mxx = sxx[comp_ids] / csw - cx * cx
+    myy = syy[comp_ids] / csw - cy * cy
+    mxy = sxy[comp_ids] / csw - cx * cy
+    # principal direction of the 2x2 moment matrix (largest eigenvector)
+    tr = mxx + myy
+    det = mxx * myy - mxy * mxy
+    lam1 = 0.5 * tr + jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
+    lam2 = tr - lam1
+    # eigenvector for lam1: (mxy, lam1 - mxx) or (lam1 - myy, mxy)
+    e1 = jnp.stack([mxy, lam1 - mxx], axis=-1)
+    e2 = jnp.stack([lam1 - myy, mxy], axis=-1)
+    use_e1 = jnp.linalg.norm(e1, axis=-1) > jnp.linalg.norm(e2, axis=-1)
+    ev = jnp.where(use_e1[:, None], e1, e2)
+    ev = ev / jnp.maximum(jnp.linalg.norm(ev, axis=-1, keepdims=True), 1e-9)
+
+    # --- per-component extent along the principal direction ---------------
+    # gather per-pixel component slot: map each pixel's label to its slot in
+    # comp_ids (or K = invalid). Build inverse map label -> slot.
+    inv = jnp.full((N + 1,), max_lines, jnp.int32)
+    inv = inv.at[comp_ids].set(jnp.arange(max_lines, dtype=jnp.int32))
+    pix_slot = inv[flat_labels]  # (N,) slot in 0..K, K = not selected
+
+    dirx = jnp.append(ev[:, 0], 0.0)[pix_slot]
+    diry = jnp.append(ev[:, 1], 0.0)[pix_slot]
+    ccx = jnp.append(cx, 0.0)[pix_slot]
+    ccy = jnp.append(cy, 0.0)[pix_slot]
+    t = (xs - ccx) * dirx + (ys - ccy) * diry
+    t = jnp.where(support.reshape(-1), t, 0.0)
+    tn = (xs - ccx) * (-diry) + (ys - ccy) * dirx  # normal offset
+
+    t_min = jax.ops.segment_min(
+        jnp.where(support.reshape(-1), t, jnp.inf), pix_slot, max_lines + 1
+    )[:max_lines]
+    t_max = jax.ops.segment_max(
+        jnp.where(support.reshape(-1), t, -jnp.inf), pix_slot, max_lines + 1
+    )[:max_lines]
+    # robust width: sqrt of second moment normal to the line (std * 2*sqrt(3)
+    # equals full width for a uniform strip)
+    sn2 = jax.ops.segment_sum(
+        jnp.where(support.reshape(-1), w * tn * tn, 0.0), pix_slot, max_lines + 1
+    )[:max_lines]
+    width = 2.0 * jnp.sqrt(3.0 * jnp.maximum(sn2 / jnp.maximum(resp, 1e-6), 1e-9))
+
+    t_min = jnp.where(jnp.isfinite(t_min), t_min, 0.0)
+    t_max = jnp.where(jnp.isfinite(t_max), t_max, 0.0)
+    length = t_max - t_min
+    p0 = jnp.stack([cx + t_min * ev[:, 0], cy + t_min * ev[:, 1]], axis=-1)
+    p1 = jnp.stack([cx + t_max * ev[:, 0], cy + t_max * ev[:, 1]], axis=-1)
+
+    density = resp / jnp.maximum(length * jnp.maximum(width, 1.0), 1e-6)
+    valid = (
+        (resp >= params.min_support)
+        & (length >= params.min_length)
+        & (density >= params.min_density)
+        & (width <= params.max_width)
+    )
+
+    seg_angle = jnp.arctan2(ev[:, 1], ev[:, 0])
+    return DetectedLines(
+        endpoints=jnp.stack([p0, p1], axis=1),
+        valid=valid,
+        response=resp,
+        angle=seg_angle,
+        width=width,
+        midpoint=jnp.stack([cx, cy], axis=-1),
+        length=length,
+    )
