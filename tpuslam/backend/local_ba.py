@@ -1,0 +1,212 @@
+"""Local bundle adjustment: window assembly + jitted LM+Schur solve.
+
+SURVEY §4.3 LocalBundleAdjustment: window = current KF + best covisible KFs;
+landmarks = their MapLines; fixed poses = other KFs observing those lines
+(+ gauge: the oldest window KF). The solve itself is `backend.lm.run_lm` —
+one jitted program per capacity bucket; this module does the host-side
+gather into padded buffers and the write-back.
+
+Capacity bucketing (SURVEY §9.4 item 2): (P, L, OL) are rounded up to fixed
+buckets so the whole sequence compiles a handful of XLA programs total.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend.lm import BAProblem, BAState, LMConfig, chi2_outlier_mask, run_lm
+from tpuslam.geometry.camera import Intrinsics
+from tpuslam.slammap.map import SlamMap
+
+
+class LocalBAConfig(NamedTuple):
+    window_size: int = 10
+    max_fixed: int = 10
+    pose_buckets: Tuple[int, ...] = (8, 16, 24)
+    line_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
+    obs_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096)
+    lm: LMConfig = LMConfig(max_iters=8)
+    chi2_line: float = 7.378
+    prune_outliers: bool = True
+    min_obs_keep: int = 2
+
+
+def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+_run_lm_jit = jax.jit(run_lm, static_argnums=(2,))
+
+
+class LocalBAStats(NamedTuple):
+    n_poses: int
+    n_fixed: int
+    n_lines: int
+    n_obs: int
+    cost: float
+    n_pruned: int
+
+
+def build_problem(
+    slam_map: SlamMap,
+    window: List[int],
+    fixed: List[int],
+    line_ids: List[int],
+    caps: Tuple[int, int, int],
+) -> Tuple[BAProblem, List[int], List[int], np.ndarray]:
+    """Gather a padded BAProblem. Returns (problem, kf_order, line_order,
+    obs_table (n_obs, 3) of [kf_pos, line_pos, feature_slot])."""
+    P, L, OL = caps
+    kf_order = window + fixed
+    kf_pos = {k: i for i, k in enumerate(kf_order)}
+    line_pos = {l: i for i, l in enumerate(line_ids)}
+    st = slam_map.lines
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    pose_free = np.zeros(P, np.float32)
+    for k, i in kf_pos.items():
+        poses[i] = slam_map.keyframes[k].T_cw
+    # optimize window poses except the gauge anchor (oldest window KF)
+    anchor = min(window)
+    for k in window:
+        if k != anchor:
+            pose_free[kf_pos[k]] = 1.0
+
+    lines = np.zeros((L, 6), np.float32)
+    line_valid = np.zeros(L, np.float32)
+    for l, i in line_pos.items():
+        lines[i] = st.plucker[l]
+        line_valid[i] = 1.0
+
+    rows = []
+    for l in line_ids:
+        for kid, slot in st.obs.get(l, {}).items():
+            if kid in kf_pos:
+                rows.append((kf_pos[kid], line_pos[l], kid, slot))
+    rows = rows[:OL]
+    n_obs = len(rows)
+    l_pose = np.zeros(OL, np.int32)
+    l_line = np.zeros(OL, np.int32)
+    l_ep = np.zeros((OL, 2, 2), np.float32)
+    l_sigma = np.ones(OL, np.float32)
+    l_valid = np.zeros(OL, np.float32)
+    obs_table = np.zeros((n_obs, 3), np.int32)
+    for r, (pi, li, kid, slot) in enumerate(rows):
+        kf = slam_map.keyframes[kid]
+        l_pose[r] = pi
+        l_line[r] = li
+        l_ep[r] = kf.features.endpoints[slot]
+        l_sigma[r] = kf.features.sigma[slot]
+        l_valid[r] = 1.0
+        obs_table[r] = (pi, li, slot)
+
+    prob = BAProblem(
+        poses=jnp.asarray(poses),
+        pose_free=jnp.asarray(pose_free),
+        lines=jnp.asarray(lines),
+        line_valid=jnp.asarray(line_valid),
+        points=jnp.zeros((1, 3), jnp.float32),
+        point_valid=jnp.zeros(1, jnp.float32),
+        l_pose=jnp.asarray(l_pose),
+        l_line=jnp.asarray(l_line),
+        l_endpoints=jnp.asarray(l_ep),
+        l_valid=jnp.asarray(l_valid),
+        l_sigma=jnp.asarray(l_sigma),
+        p_pose=jnp.zeros(1, jnp.int32),
+        p_point=jnp.zeros(1, jnp.int32),
+        p_uv=jnp.zeros((1, 2), jnp.float32),
+        p_valid=jnp.zeros(1, jnp.float32),
+        p_sigma=jnp.ones(1, jnp.float32),
+    )
+    return prob, kf_order, line_ids, obs_table
+
+
+def _project_endpoints_to_line(ep: np.ndarray, L: np.ndarray) -> np.ndarray:
+    """Move stored 3D endpoints onto the optimized Pluecker line (orthogonal
+    projection) so visualization/matching stay consistent with BA output."""
+    n, v = L[:3], L[3:]
+    vn = np.linalg.norm(v)
+    if vn < 1e-9:
+        return ep
+    u = v / vn
+    p0 = np.cross(v, n) / (vn * vn)
+    t = (ep - p0) @ u
+    return p0[None, :] + t[:, None] * u[None, :]
+
+
+def local_bundle_adjustment(
+    slam_map: SlamMap,
+    center_kid: int,
+    cam: Intrinsics,
+    cfg: LocalBAConfig = LocalBAConfig(),
+) -> LocalBAStats:
+    """Run windowed BA around `center_kid` and write results into the map."""
+    window, line_ids = slam_map.local_window(center_kid, cfg.window_size)
+    window = sorted(window)
+    st = slam_map.lines
+    # fixed KFs: observe window lines but are not in the window
+    fixed_set = set()
+    for l in line_ids:
+        for kid in st.obs.get(l, {}):
+            if kid not in window and kid in slam_map.keyframes:
+                fixed_set.add(kid)
+    fixed = sorted(fixed_set)[: cfg.max_fixed]
+
+    P = _bucket(len(window) + len(fixed), cfg.pose_buckets)
+    L = _bucket(len(line_ids), cfg.line_buckets)
+    n_obs_est = sum(
+        sum(1 for k in st.obs.get(l, {}) if k in window or k in fixed_set)
+        for l in line_ids
+    )
+    OL = _bucket(n_obs_est, cfg.obs_buckets)
+    line_ids = line_ids[:L]
+
+    prob, kf_order, line_order, obs_table = build_problem(
+        slam_map, window, fixed, line_ids, (P, L, OL)
+    )
+    state: BAState = _run_lm_jit(prob, cam, cfg.lm)
+
+    # ---- write back -----------------------------------------------------
+    new_poses = np.asarray(state.poses)
+    for i, kid in enumerate(kf_order):
+        if i < len(window) + len(fixed) and float(np.asarray(prob.pose_free)[i]) > 0.5:
+            slam_map.keyframes[kid].T_cw = new_poses[i]
+    new_lines = np.asarray(state.lines)
+    for i, lid in enumerate(line_order):
+        if st.alive[lid]:
+            st.plucker[lid] = new_lines[i]
+            st.endpoints[lid] = _project_endpoints_to_line(st.endpoints[lid], new_lines[i])
+
+    # ---- outlier pruning -------------------------------------------------
+    n_pruned = 0
+    if cfg.prune_outliers:
+        inl_l, _ = chi2_outlier_mask(state, prob, cam, cfg.chi2_line, 5.991)
+        inl_l = np.asarray(inl_l)
+        for r in range(obs_table.shape[0]):
+            if inl_l[r] < 0.5:
+                pi, li, slot = obs_table[r]
+                kid = kf_order[pi]
+                lid = line_order[li]
+                st.erase_observation(int(lid), slam_map.keyframes[kid])
+                n_pruned += 1
+        # kill landmarks that fell below the observation floor
+        for lid in line_order:
+            if st.alive[lid] and st.n_obs[lid] < cfg.min_obs_keep:
+                st.kill(int(lid), slam_map.keyframes)
+
+    return LocalBAStats(
+        n_poses=len(window),
+        n_fixed=len(fixed),
+        n_lines=len(line_order),
+        n_obs=int(obs_table.shape[0]),
+        cost=float(np.asarray(state.cost)),
+        n_pruned=n_pruned,
+    )

@@ -1,0 +1,173 @@
+"""Per-frame feature extraction: the Frame front half (SURVEY §4.2).
+
+The reference's ``Frame`` ctor runs pyramid -> LSD -> LBD -> stereo matching
+as sequential OpenCV calls. Here the whole front half is ONE jitted XLA
+program per camera (``extract_features``) plus one for stereo association
+(``stereo_line_depths``) — two device dispatches per stereo frame, fixed
+shapes throughout (SURVEY §9.4 items 2, 4).
+
+Level merging: lines detected on pyramid level l are mapped back to level-0
+pixel coordinates (x / 0.8^l) and the union is reduced to a fixed capacity K
+by detection response, with the measurement sigma scaled by the level factor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.kernels.image import build_pyramid, image_gradients
+from tpuslam.kernels.lbd import LBDParams, lbd_descriptors
+from tpuslam.kernels.lsd import DetectedLines, LSDParams, detect_lines
+from tpuslam.kernels.match import (
+    MatchParams,
+    angle_gate,
+    length_ratio_gate,
+    match_descriptors,
+    stereo_row_gate,
+)
+
+
+class FrontendParams(NamedTuple):
+    max_lines: int = 256  # merged per-frame capacity K
+    n_levels: int = 2
+    scale: float = 0.8
+    lsd: LSDParams = LSDParams()
+    lbd: LBDParams = LBDParams()
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity per-frame line features (level-0 pixel coords)."""
+
+    endpoints: jnp.ndarray  # (K, 2, 2)
+    valid: jnp.ndarray  # (K,) bool
+    angle: jnp.ndarray  # (K,)
+    length: jnp.ndarray  # (K,)
+    midpoint: jnp.ndarray  # (K, 2)
+    response: jnp.ndarray  # (K,)
+    level: jnp.ndarray  # (K,) int32 pyramid level
+    sigma: jnp.ndarray  # (K,) measurement std in px (grows with level)
+    desc: jnp.ndarray  # (K, 72) float LBD
+    desc_bits: jnp.ndarray  # (K, n_bits/32) uint32 binary LBD
+    # stereo (filled by stereo_line_depths; zeros for mono)
+    depth: jnp.ndarray  # (K, 2) metric depth at each endpoint, 0 = unknown
+    has_depth: jnp.ndarray  # (K,) bool
+
+
+@partial(jax.jit, static_argnums=(1,))
+def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()) -> FrameFeatures:
+    """(H, W) grayscale f32 in [0, 1] -> FrameFeatures.
+
+    One XLA program: pyramid, per-level gradients, LSD detection, LBD
+    descriptors, cross-level merge to capacity ``params.max_lines``.
+    """
+    K = params.max_lines
+    levels = build_pyramid(img, params.n_levels, params.scale)
+
+    per_level = []
+    for lvl, lim in enumerate(levels):
+        det: DetectedLines = detect_lines(lim, K, params.lsd)
+        gx, gy, _, _ = image_gradients(lim * 255.0)
+        desc, bits = lbd_descriptors(gx, gy, det.endpoints, params.lbd)
+        up = 1.0 / (params.scale**lvl)
+        per_level.append(
+            dict(
+                endpoints=det.endpoints * up,
+                valid=det.valid,
+                angle=det.angle,
+                length=det.length * up,
+                midpoint=det.midpoint * up,
+                response=det.response * up * up,  # support area in level-0 px
+                level=jnp.full((K,), lvl, jnp.int32),
+                sigma=jnp.full((K,), up, jnp.float32),
+                desc=desc,
+                bits=bits,
+            )
+        )
+
+    cat = {k: jnp.concatenate([pl_[k] for pl_ in per_level]) for k in per_level[0]}
+    # top-K by (validity, response)
+    score = jnp.where(cat["valid"], cat["response"], -1.0)
+    _, order = jax.lax.top_k(score, K)
+
+    def take(x):
+        return x[order]
+
+    return FrameFeatures(
+        endpoints=take(cat["endpoints"]),
+        valid=take(cat["valid"]),
+        angle=take(cat["angle"]),
+        length=take(cat["length"]),
+        midpoint=take(cat["midpoint"]),
+        response=take(cat["response"]),
+        level=take(cat["level"]),
+        sigma=take(cat["sigma"]),
+        desc=take(cat["desc"]),
+        desc_bits=take(cat["bits"]),
+        depth=jnp.zeros((K, 2), jnp.float32),
+        has_depth=jnp.zeros((K,), bool),
+    )
+
+
+class StereoParams(NamedTuple):
+    max_dy: float = 12.0  # midpoint row tolerance (rectified)
+    min_disp: float = 0.5
+    max_disp: float = 200.0
+    angle_tol: float = 0.15
+    min_len_ratio: float = 0.6
+    match: MatchParams = MatchParams(max_dist=110.0, ratio=0.95)
+
+
+def _x_at_row(endpoints: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """x-coordinate where segment (2, 2) crosses image row y (extrapolated)."""
+    p0, p1 = endpoints[0], endpoints[1]
+    dy = p1[1] - p0[1]
+    t = (y - p0[1]) / jnp.where(jnp.abs(dy) < 1e-6, jnp.sign(dy) * 1e-6 + 1e-9, dy)
+    return p0[0] + t * (p1[0] - p0[0])
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def stereo_line_depths(
+    left: FrameFeatures,
+    right: FrameFeatures,
+    fx_baseline: jnp.ndarray,
+    params: StereoParams = StereoParams(),
+    near_horizontal_deg: float = 10.0,
+) -> FrameFeatures:
+    """Associate left<->right lines and recover endpoint depths.
+
+    Rectified stereo: a left endpoint at row y matches the right line where it
+    crosses row y; disparity = x_L - x_R(y), depth = fx * b / disp
+    (SURVEY §4.2 '[DEV: Hamming top-k on MXU]'). Near-horizontal lines are
+    rejected (disparity ill-conditioned along the epipolar direction).
+    """
+    gate = (
+        stereo_row_gate(
+            left.midpoint, right.midpoint, params.max_dy, params.min_disp, params.max_disp
+        )
+        & angle_gate(left.angle, right.angle, params.angle_tol)
+        & length_ratio_gate(left.length, right.length, params.min_len_ratio)
+    )
+    m = match_descriptors(
+        left.desc_bits, left.valid, right.desc_bits, right.valid, params.match, gate
+    )
+
+    r_ep = right.endpoints[jnp.maximum(m.idx, 0)]  # (K, 2, 2)
+    xr0 = jax.vmap(_x_at_row)(r_ep, left.endpoints[:, 0, 1])
+    xr1 = jax.vmap(_x_at_row)(r_ep, left.endpoints[:, 1, 1])
+    disp = jnp.stack(
+        [left.endpoints[:, 0, 0] - xr0, left.endpoints[:, 1, 0] - xr1], axis=-1
+    )
+    disp_ok = jnp.all((disp > params.min_disp) & (disp < params.max_disp), axis=-1)
+
+    # reject near-horizontal lines: row-crossing is ill-posed
+    ang = jnp.abs(left.angle) % jnp.pi
+    ang = jnp.minimum(ang, jnp.pi - ang)  # angle to the x-axis
+    steep_enough = ang > jnp.deg2rad(near_horizontal_deg)
+
+    ok = m.valid & disp_ok & steep_enough
+    depth = jnp.where(ok[:, None], fx_baseline / jnp.maximum(disp, 1e-6), 0.0)
+    return left._replace(depth=depth, has_depth=ok)

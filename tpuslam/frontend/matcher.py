@@ -1,0 +1,165 @@
+"""Projection-guided and descriptor matching against the map (SURVEY §2 L2).
+
+The reference's `LineMatcher::SearchByProjection` loops over landmarks,
+projects each into the frame, and scans a pixel grid for nearby candidate
+features. The TPU formulation projects ALL landmarks at once and gates a
+dense (landmarks x features) distance matrix — the grid lookup becomes a
+midpoint-radius mask, and the descriptor scan one MXU matmul
+(kernels/match.py).
+
+`tracked_pose_step` fuses projection-search + pose-only LM + inlier count
+into a single jitted program: one device dispatch per tracking stage
+(SURVEY §9.4 item 4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend.pose_opt import PoseOptConfig, pose_optimize
+from tpuslam.frontend.frame import FrameFeatures
+from tpuslam.geometry.camera import Intrinsics, project_points
+from tpuslam.geometry.se3 import se3_apply
+from tpuslam.kernels.match import (
+    MatchParams,
+    MatchResult,
+    angle_gate,
+    match_descriptors,
+    midpoint_radius_gate,
+)
+
+
+class ProjectionSearchParams(NamedTuple):
+    radius: float = 40.0  # px midpoint search radius
+    angle_tol: float = 0.3
+    match: MatchParams = MatchParams(max_dist=110.0, ratio=0.95)
+    min_z: float = 0.05
+    margin: float = -20.0  # allow midpoints slightly outside the image
+
+
+def project_map_lines(
+    T_cw: jnp.ndarray,
+    ep3d: jnp.ndarray,  # (N, 2, 3) world segment endpoints
+    cam: Intrinsics,
+    min_z: float,
+    margin: float,
+):
+    """Project landmark endpoints; visibility mask. Returns (uv (N,2,2),
+    mid (N,2), ang (N,), visible (N,))."""
+    ep_c = se3_apply(T_cw, ep3d)  # (N, 2, 3)
+    uv = project_points(cam, ep_c)  # (N, 2, 2)
+    in_front = jnp.all(ep_c[..., 2] > min_z, axis=-1)
+    mid = jnp.mean(uv, axis=1)
+    d = uv[:, 1] - uv[:, 0]
+    ang = jnp.arctan2(d[..., 1], d[..., 0])
+    in_img = (
+        (mid[:, 0] >= margin)
+        & (mid[:, 0] < cam.width - margin)
+        & (mid[:, 1] >= margin)
+        & (mid[:, 1] < cam.height - margin)
+    )
+    return uv, mid, ang, in_front & in_img
+
+
+def search_by_projection(
+    T_cw: jnp.ndarray,
+    map_ep3d: jnp.ndarray,
+    map_bits: jnp.ndarray,
+    map_valid: jnp.ndarray,
+    feats: FrameFeatures,
+    cam: Intrinsics,
+    params: ProjectionSearchParams = ProjectionSearchParams(),
+) -> MatchResult:
+    """Match map lines -> frame features near their predicted projection.
+
+    Returns MatchResult over the landmark axis: idx[i] = frame feature slot.
+    """
+    _, mid, ang, visible = project_map_lines(
+        T_cw, map_ep3d, cam, params.min_z, params.margin
+    )
+    gate = midpoint_radius_gate(mid, feats.midpoint, params.radius) & angle_gate(
+        ang, feats.angle, params.angle_tol
+    )
+    return match_descriptors(
+        map_bits,
+        map_valid & visible,
+        feats.desc_bits,
+        feats.valid,
+        params.match,
+        gate,
+    )
+
+
+class TrackStepResult(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) optimized T_cw
+    match_idx: jnp.ndarray  # (N,) landmark -> frame slot (-1 none)
+    inlier: jnp.ndarray  # (N,) final inlier mask (f32)
+    num_matched: jnp.ndarray  # int32
+    num_inliers: jnp.ndarray  # int32
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def tracked_pose_step(
+    T_pred: jnp.ndarray,
+    map_plucker: jnp.ndarray,  # (N, 6) world lines
+    map_ep3d: jnp.ndarray,  # (N, 2, 3)
+    map_bits: jnp.ndarray,  # (N, W)
+    map_valid: jnp.ndarray,  # (N,) bool
+    feats: FrameFeatures,
+    cam: Intrinsics,
+    search: ProjectionSearchParams = ProjectionSearchParams(),
+    opt: PoseOptConfig = PoseOptConfig(),
+) -> TrackStepResult:
+    """One fused tracking stage: project+match+pose-LM+re-gate (one dispatch).
+
+    SURVEY §4.2 TrackWithMotionModel / TrackLocalMap body.
+    """
+    m = search_by_projection(T_pred, map_ep3d, map_bits, map_valid, feats, cam, search)
+    slot = jnp.maximum(m.idx, 0)
+    l_endpoints = feats.endpoints[slot]
+    l_sigma = feats.sigma[slot]
+    l_valid = m.valid.astype(T_pred.dtype)
+    res = pose_optimize(
+        T_pred,
+        map_plucker,
+        l_endpoints,
+        l_valid,
+        points=jnp.zeros((1, 3), T_pred.dtype),
+        p_uv=jnp.zeros((1, 2), T_pred.dtype),
+        p_valid=jnp.zeros((1,), T_pred.dtype),
+        cam=cam,
+        cfg=opt,
+        l_sigma=l_sigma,
+    )
+    return TrackStepResult(
+        pose=res.pose,
+        match_idx=m.idx,
+        inlier=res.inlier_lines,
+        num_matched=jnp.sum(m.valid).astype(jnp.int32),
+        num_inliers=res.num_inliers,
+    )
+
+
+@jax.jit
+def triangulate_stereo_lines(T_wc: jnp.ndarray, feats: FrameFeatures, cam: Intrinsics):
+    """Stereo-depth endpoints -> world Pluecker lines + 3D endpoints.
+
+    Returns (plucker (K, 6), ep3d (K, 2, 3), ok (K,)). SURVEY §4.3
+    CreateNewMapLines, stereo branch: direct backprojection, no two-view
+    search needed.
+    """
+    x = (feats.endpoints[..., 0] - cam.cx) / cam.fx  # (K, 2)
+    y = (feats.endpoints[..., 1] - cam.cy) / cam.fy
+    z = feats.depth  # (K, 2)
+    p_c = jnp.stack([x * z, y * z, z], axis=-1)  # (K, 2, 3)
+    p_w = se3_apply(T_wc, p_c)
+    v = p_w[:, 1] - p_w[:, 0]
+    n = jnp.cross(p_w[:, 0], p_w[:, 1])
+    plucker = jnp.concatenate([n, v], axis=-1)
+    seg_len = jnp.linalg.norm(v, axis=-1)
+    ok = feats.has_depth & feats.valid & (seg_len > 0.05) & (seg_len < 20.0)
+    return plucker, p_w, ok

@@ -1,0 +1,323 @@
+"""The tracking front-end: per-frame pose estimation (SURVEY §2 L5, §4.2).
+
+Host-side sequential control flow (reference thread T1, minus the threads —
+SURVEY §3.3: single host thread by design) orchestrating jitted device
+programs:
+
+  extract_features (+ stereo_line_depths)   -> 1-2 dispatches
+  tracked_pose_step (motion-model stage)    -> 1 dispatch
+  tracked_pose_step (local-map stage)       -> 1 dispatch
+
+State machine: NOT_INITIALIZED -> OK -> LOST (relocalization against the
+keyframe database; SURVEY §7 'failure detection').
+
+All map gathers into device buffers use fixed capacities (`local_capacity`)
+so tracking never recompiles after warmup.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuslam.backend.pose_opt import PoseOptConfig
+from tpuslam.frontend.frame import (
+    FrameFeatures,
+    FrontendParams,
+    StereoParams,
+    extract_features,
+    stereo_line_depths,
+)
+from tpuslam.frontend.matcher import (
+    ProjectionSearchParams,
+    TrackStepResult,
+    tracked_pose_step,
+    triangulate_stereo_lines,
+)
+from tpuslam.geometry.camera import Intrinsics
+from tpuslam.slammap.map import KeyFrame, SlamMap
+
+
+class TrackingState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclass
+class TrackerConfig:
+    frontend: FrontendParams = FrontendParams()
+    stereo: StereoParams = StereoParams()
+    search_coarse: ProjectionSearchParams = ProjectionSearchParams(radius=50.0)
+    search_fine: ProjectionSearchParams = ProjectionSearchParams(radius=20.0)
+    pose_opt: PoseOptConfig = PoseOptConfig()
+    local_capacity: int = 1024  # padded local-map landmark count
+    min_init_lines: int = 20
+    min_track_matches: int = 10
+    min_track_inliers: int = 8
+    max_frames_between_kf: int = 20
+    min_frames_between_kf: int = 0
+    kf_tracked_ratio: float = 0.6  # new KF if inliers < ratio * ref tracked
+    min_new_kf_lines: int = 30  # (stereo) close lines needed to defer KF
+    local_window_kfs: int = 10
+
+
+@dataclass
+class FrameResult:
+    frame_idx: int
+    timestamp: float
+    T_cw: np.ndarray
+    state: TrackingState
+    n_matches: int = 0
+    n_inliers: int = 0
+    made_keyframe: bool = False
+
+
+class Tracker:
+    """Per-frame tracking over a shared SlamMap (SURVEY §4.2 Track())."""
+
+    def __init__(self, cam: Intrinsics, slam_map: SlamMap, cfg: TrackerConfig = TrackerConfig()):
+        self.cam = cam
+        self.map = slam_map
+        self.cfg = cfg
+        self.state = TrackingState.NOT_INITIALIZED
+        self.T_cw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)  # T_curr @ inv(T_last)
+        self.last_T_cw: Optional[np.ndarray] = None
+        self.ref_kf: Optional[int] = None
+        self.last_kf_frame = -10**9
+        self.frame_idx = -1
+        self.ref_tracked = 0
+        # local-map device cache (rebuilt when the window changes)
+        self._local_ids = np.zeros(cfg.local_capacity, np.int32)
+        self._local_valid = np.zeros(cfg.local_capacity, bool)
+        self._local_dirty = True
+        # callbacks installed by the mapping back-end
+        self.on_new_keyframe = None
+
+    # ---- public API ----------------------------------------------------
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> FrameResult:
+        self.frame_idx += 1
+        fl = extract_features(jnp.asarray(img_left, jnp.float32), self.cfg.frontend)
+        fr = extract_features(jnp.asarray(img_right, jnp.float32), self.cfg.frontend)
+        feats = stereo_line_depths(
+            fl, fr, jnp.float32(self.cam.fx * self.cam.baseline), self.cfg.stereo
+        )
+        return self._track(feats, timestamp, stereo=True)
+
+    def track_monocular(self, img: np.ndarray, timestamp: float) -> FrameResult:
+        self.frame_idx += 1
+        feats = extract_features(jnp.asarray(img, jnp.float32), self.cfg.frontend)
+        return self._track(feats, timestamp, stereo=False)
+
+    # ---- core ----------------------------------------------------------
+    def _track(self, feats: FrameFeatures, timestamp: float, stereo: bool) -> FrameResult:
+        if self.state == TrackingState.NOT_INITIALIZED:
+            ok = self._initialize(feats, timestamp, stereo)
+            return FrameResult(
+                self.frame_idx,
+                timestamp,
+                self.T_cw.copy(),
+                self.state,
+                made_keyframe=ok,
+            )
+
+        T_pred = (
+            self.velocity @ self.last_T_cw
+            if self.last_T_cw is not None
+            else self.T_cw
+        )
+
+        local = self._local_map_arrays()
+        coarse: TrackStepResult = tracked_pose_step(
+            jnp.asarray(T_pred),
+            local["plucker"],
+            local["ep3d"],
+            local["bits"],
+            local["valid"],
+            feats,
+            self.cam,
+            self.cfg.search_coarse,
+            self.cfg.pose_opt,
+        )
+        fine: TrackStepResult = tracked_pose_step(
+            coarse.pose,
+            local["plucker"],
+            local["ep3d"],
+            local["bits"],
+            local["valid"],
+            feats,
+            self.cam,
+            self.cfg.search_fine,
+            self.cfg.pose_opt,
+        )
+        n_matches = int(fine.num_matched)
+        n_inliers = int(fine.num_inliers)
+
+        if n_inliers >= self.cfg.min_track_inliers:
+            self.state = TrackingState.OK
+            new_T = np.asarray(fine.pose)
+            if self.last_T_cw is not None:
+                self.velocity = (new_T @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
+            self.last_T_cw = new_T
+            self.T_cw = new_T
+        else:
+            # tracking failure: keep motion-model pose, flag LOST
+            self.state = TrackingState.LOST
+            self.T_cw = np.asarray(T_pred, np.float32)
+            self.last_T_cw = self.T_cw
+            self.velocity = np.eye(4, dtype=np.float32)
+
+        made_kf = False
+        if self.state == TrackingState.OK and self._need_new_keyframe(n_inliers, feats, stereo):
+            self._create_keyframe(feats, timestamp, fine, stereo)
+            made_kf = True
+
+        return FrameResult(
+            self.frame_idx,
+            timestamp,
+            self.T_cw.copy(),
+            self.state,
+            n_matches,
+            n_inliers,
+            made_kf,
+        )
+
+    # ---- initialization -------------------------------------------------
+    def _initialize(self, feats: FrameFeatures, timestamp: float, stereo: bool) -> bool:
+        if not stereo:
+            return self._initialize_mono(feats, timestamp)
+        plucker, ep3d, ok = triangulate_stereo_lines(
+            jnp.asarray(np.linalg.inv(self.T_cw)), feats, self.cam
+        )
+        ok = np.asarray(ok)
+        if ok.sum() < self.cfg.min_init_lines:
+            return False
+        kf = self.map.new_keyframe(self.frame_idx, timestamp, self.T_cw, feats)
+        self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)
+        self.map.update_connections(kf)
+        self.ref_kf = kf.kid
+        self.ref_tracked = int(ok.sum())
+        self.last_kf_frame = self.frame_idx
+        self.last_T_cw = self.T_cw.copy()
+        self.state = TrackingState.OK
+        self._local_dirty = True
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf)
+        return True
+
+    def _initialize_mono(self, feats: FrameFeatures, timestamp: float) -> bool:
+        from tpuslam.frontend.initializer import MonoInitializer
+
+        if not hasattr(self, "_mono_init"):
+            self._mono_init = MonoInitializer(self.cam)
+        result = self._mono_init.try_initialize(feats, timestamp, self.frame_idx)
+        if result is None:
+            return False
+        (f0, t0, idx0, T1, plucker, ep3d, ok0, slots0, slots1) = result
+        kf0 = self.map.new_keyframe(idx0, t0, np.eye(4, dtype=np.float32), f0)
+        kf1 = self.map.new_keyframe(self.frame_idx, timestamp, T1, feats)
+        for i in range(len(ok0)):
+            if not ok0[i]:
+                continue
+            lid = self.map.lines.allocate(
+                plucker[i], ep3d[i], np.asarray(f0.desc_bits)[slots0[i]], kf0.kid
+            )
+            self.map.lines.add_observation(lid, kf0, int(slots0[i]))
+            self.map.lines.add_observation(lid, kf1, int(slots1[i]))
+        self.map.update_connections(kf0)
+        self.map.update_connections(kf1)
+        self.T_cw = T1.copy()
+        self.last_T_cw = T1.copy()
+        self.ref_kf = kf1.kid
+        self.ref_tracked = int(ok0.sum())
+        self.last_kf_frame = self.frame_idx
+        self.state = TrackingState.OK
+        self._local_dirty = True
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf0)
+            self.on_new_keyframe(kf1)
+        return True
+
+    # ---- keyframes ------------------------------------------------------
+    def _need_new_keyframe(self, n_inliers: int, feats: FrameFeatures, stereo: bool) -> bool:
+        since = self.frame_idx - self.last_kf_frame
+        if since < max(1, self.cfg.min_frames_between_kf):
+            return False
+        if since >= self.cfg.max_frames_between_kf:
+            return True
+        weak = n_inliers < self.cfg.kf_tracked_ratio * max(self.ref_tracked, 1)
+        if stereo:
+            n_depth = int(np.asarray(feats.has_depth).sum())
+            return weak or (
+                n_inliers < self.cfg.min_new_kf_lines and n_depth > n_inliers + 10
+            )
+        return weak
+
+    def _create_keyframe(
+        self, feats: FrameFeatures, timestamp: float, fine: TrackStepResult, stereo: bool
+    ):
+        kf = self.map.new_keyframe(self.frame_idx, timestamp, self.T_cw, feats)
+        # bind tracked landmarks: local slot i -> frame slot fine.match_idx[i]
+        match_idx = np.asarray(fine.match_idx)
+        inlier = np.asarray(fine.inlier) > 0.5
+        for i in np.nonzero(inlier & (match_idx >= 0))[0]:
+            lid = int(self._local_ids[i])
+            if self._local_valid[i] and self.map.lines.alive[lid]:
+                slot = int(match_idx[i])
+                if kf.line_ids[slot] < 0:
+                    self.map.lines.add_observation(lid, kf, slot)
+        if stereo:
+            # create new landmarks from unmatched stereo-depth features
+            plucker, ep3d, ok = triangulate_stereo_lines(
+                jnp.asarray(np.linalg.inv(self.T_cw)), feats, self.cam
+            )
+            ok = np.asarray(ok) & (kf.line_ids < 0)
+            self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)
+        self.map.update_connections(kf)
+        self.ref_kf = kf.kid
+        self.ref_tracked = max(int(np.sum(kf.line_ids >= 0)), 1)
+        self.last_kf_frame = self.frame_idx
+        self._local_dirty = True
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf)
+
+    def _bind_new_landmarks(self, kf: KeyFrame, plucker, ep3d, ok: np.ndarray):
+        bits = np.asarray(kf.features.desc_bits)
+        for slot in np.nonzero(ok)[0]:
+            lid = self.map.lines.allocate(plucker[slot], ep3d[slot], bits[slot], kf.kid)
+            self.map.lines.add_observation(lid, kf, int(slot))
+
+    # ---- local map cache ------------------------------------------------
+    def invalidate_local_map(self):
+        """Call after mapping/BA mutates landmark geometry."""
+        self._local_dirty = True
+
+    def _local_map_arrays(self):
+        if not self._local_dirty and hasattr(self, "_local_dev"):
+            return self._local_dev
+        NL = self.cfg.local_capacity
+        lids: List[int] = []
+        if self.ref_kf is not None and self.ref_kf in self.map.keyframes:
+            _, lids = self.map.local_window(self.ref_kf, self.cfg.local_window_kfs)
+        lids = [l for l in lids if self.map.lines.alive[l]][:NL]
+        n = len(lids)
+        ids = np.zeros(NL, np.int32)
+        ids[:n] = lids
+        valid = np.zeros(NL, bool)
+        valid[:n] = True
+        self._local_ids = ids
+        self._local_valid = valid
+        st = self.map.lines
+        self._local_dev = dict(
+            plucker=jnp.asarray(st.plucker[ids]),
+            ep3d=jnp.asarray(st.endpoints[ids]),
+            bits=jnp.asarray(st.desc_bits[ids]),
+            valid=jnp.asarray(valid),
+        )
+        self._local_dirty = False
+        return self._local_dev

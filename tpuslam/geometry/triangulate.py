@@ -78,6 +78,34 @@ def triangulate_points(
     return Xh[..., :3]
 
 
+def line_ray_endpoints(L: jnp.ndarray, rays: jnp.ndarray):
+    """Clamp detected-segment extent onto a 3D line via viewing rays.
+
+    L: (..., 6) Pluecker lines in the CAMERA frame; rays: (..., 2, 3) unit
+    viewing rays of the two detected endpoints (camera origin). Returns
+    (points (..., 2, 3) on L closest to each ray, s (..., 2) the ray
+    parameter — s <= 0 means the closest point is behind the camera).
+
+    Used to attach 3D endpoints to triangulated lines (visualization,
+    culling, projection gating) — the optimized state stays Pluecker.
+    """
+    n, v = L[..., :3], L[..., 3:]
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    u = v / jnp.maximum(vn, _EPS)  # (..., 3)
+    p0 = jnp.cross(v, n) / jnp.maximum(vn * vn, _EPS)  # closest point to origin
+    u2 = u[..., None, :]  # (..., 1, 3)
+    p02 = p0[..., None, :]
+    b = jnp.sum(u2 * rays, axis=-1)  # (..., 2)
+    w = p02  # ray origin is 0, so w = p0 - 0
+    wu = jnp.sum(w * u2, axis=-1)
+    wr = jnp.sum(w * rays, axis=-1)
+    denom = jnp.maximum(1.0 - b * b, 1e-9)
+    t = (b * wr - wu) / denom
+    s = (wr - b * wu) / denom
+    pts = p02 + t[..., None] * u2  # (..., 2, 3)
+    return pts, s
+
+
 def stereo_depth_from_disparity(cam: Intrinsics, disparity: jnp.ndarray) -> jnp.ndarray:
     """Rectified stereo: z = fx * b / d."""
     return cam.fx * cam.baseline / jnp.maximum(disparity, 1e-6)

@@ -33,7 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tpuslam.kernels.image import image_gradients
+from tpuslam.kernels.image import gaussian_blur, image_gradients
 
 
 class LSDParams(NamedTuple):
@@ -41,9 +41,13 @@ class LSDParams(NamedTuple):
     quant: float = 2.0  # gradient quantization error bound (on [0,255] scale)
     min_length: float = 15.0  # px, at detection level
     min_support: int = 20  # pixels in component
-    min_density: float = 0.5  # support / (length * width)
-    max_width: float = 4.0  # px, reject blobs
+    min_density: float = 0.35  # support / (length * width)
+    max_width: float = 8.0  # px, reject blobs (density is the main gate;
+    # the Gaussian prefilter widens legitimate edge strips to ~2-5 px)
     n_iters: int = 10  # propagate+jump rounds (caps segment length ~2^n)
+    prefilter_sigma: float = 0.75  # LSD's 0.6/0.8 pre-smoothing (0 = off);
+    # without it, anti-aliased near-axis lines fragment at stair-steps
+    merge_fragments: bool = True  # collinear post-merge (junction splits)
 
 
 class DetectedLines(NamedTuple):
@@ -77,6 +81,8 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     """
     H, W = img.shape
     N = H * W
+    if params.prefilter_sigma > 0:
+        img = gaussian_blur(img, params.prefilter_sigma)
     gx, gy, mag, angle = image_gradients(img * 255.0)  # LSD thresholds on 0..255
 
     rho = params.quant / math.sin(params.angle_tol)
@@ -177,7 +183,9 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     sn2 = jax.ops.segment_sum(
         jnp.where(support.reshape(-1), w * tn * tn, 0.0), pix_slot, max_lines + 1
     )[:max_lines]
-    width = 2.0 * jnp.sqrt(3.0 * jnp.maximum(sn2 / jnp.maximum(resp, 1e-6), 1e-9))
+    # weighted variance normal to the line; full width of a uniform strip is
+    # sqrt(12 * var) = 2 * sqrt(3 * var)
+    width = 2.0 * jnp.sqrt(3.0 * jnp.maximum(sn2 / csw, 1e-9))
 
     t_min = jnp.where(jnp.isfinite(t_min), t_min, 0.0)
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 0.0)
@@ -194,7 +202,7 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     )
 
     seg_angle = jnp.arctan2(ev[:, 1], ev[:, 0])
-    return DetectedLines(
+    det = DetectedLines(
         endpoints=jnp.stack([p0, p1], axis=1),
         valid=valid,
         response=resp,
@@ -202,4 +210,118 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
         width=width,
         midpoint=jnp.stack([cx, cy], axis=-1),
         length=length,
+    )
+    if params.merge_fragments:
+        det = merge_collinear(det)
+    return det
+
+
+def merge_collinear(
+    det: DetectedLines,
+    tol_angle: float = 0.06,
+    tol_perp: float = 2.0,
+    max_gap: float = 12.0,
+    n_rounds: int = 6,
+) -> DetectedLines:
+    """Merge collinear, nearly-touching segments (junction/stair fragments).
+
+    The connected-component labeling reformulated at segment granularity:
+    a K x K mutual-collinearity adjacency matrix, min-label propagation over
+    it (log K rounds of masked row-min + pointer jumping), then per-group
+    moments for the merged endpoints. All dense fixed-shape ops.
+    """
+    K = det.endpoints.shape[0]
+    p0, p1 = det.endpoints[:, 0], det.endpoints[:, 1]
+    d = p1 - p0
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+
+    def perp_to_i(p):  # (K, 2) points -> (K, K): dist of p[j] to line i
+        rel = p[None, :, :] - det.midpoint[:, None, :]
+        return jnp.abs(rel[..., 0] * (-dn[:, None, 1]) + rel[..., 1] * dn[:, None, 0])
+
+    perp_ok = (perp_to_i(p0) < tol_perp) & (perp_to_i(p1) < tol_perp)
+
+    da = jnp.abs(det.angle[:, None] - det.angle[None, :]) % jnp.pi
+    da = jnp.minimum(da, jnp.pi - da)
+    ang_ok = da < tol_angle
+
+    # interval gap along i's direction
+    def proj_to_i(p):  # (K, K): coordinate of p[j] along line i
+        rel = p[None, :, :] - det.midpoint[:, None, :]
+        return rel[..., 0] * dn[:, None, 0] + rel[..., 1] * dn[:, None, 1]
+
+    tj0, tj1 = proj_to_i(p0), proj_to_i(p1)
+    j_lo = jnp.minimum(tj0, tj1)
+    j_hi = jnp.maximum(tj0, tj1)
+    # i's own interval along its direction (midpoint is the support CENTROID,
+    # not the endpoint midpoint, so the interval is not symmetric around 0)
+    ti = jnp.sum((det.endpoints - det.midpoint[:, None, :]) * dn[:, None, :], axis=-1)
+    i_lo = jnp.min(ti, axis=1)[:, None]
+    i_hi = jnp.max(ti, axis=1)[:, None]
+    gap = jnp.maximum(j_lo - i_hi, i_lo - j_hi)  # <0 if overlapping
+    gap_ok = gap < max_gap
+
+    vv = det.valid[:, None] & det.valid[None, :]
+    adj = perp_ok & ang_ok & gap_ok & vv
+    adj = adj & adj.T
+    adj = adj | jnp.eye(K, dtype=bool)
+
+    labels = jnp.arange(K, dtype=jnp.int32)
+    for _ in range(n_rounds):
+        labels = jnp.min(jnp.where(adj, labels[None, :], K), axis=1)
+        labels = labels[labels]  # pointer jump
+
+    is_rep = (labels == jnp.arange(K)) & det.valid
+    w = jnp.where(det.valid, det.response, 0.0)
+
+    def seg(x):
+        return jax.ops.segment_sum(x, labels, K)
+
+    sw = jnp.maximum(seg(w), 1e-6)
+    # group centroid and second moments over member endpoints (each endpoint
+    # weighted by half the member response)
+    epw = 0.5 * w[:, None]
+    ex = seg(jnp.sum(det.endpoints[..., 0] * epw, axis=1)) / sw
+    ey = seg(jnp.sum(det.endpoints[..., 1] * epw, axis=1)) / sw
+    exx = seg(jnp.sum(det.endpoints[..., 0] ** 2 * epw, axis=1)) / sw - ex * ex
+    eyy = seg(jnp.sum(det.endpoints[..., 1] ** 2 * epw, axis=1)) / sw - ey * ey
+    exy = (
+        seg(jnp.sum(det.endpoints[..., 0] * det.endpoints[..., 1] * epw, axis=1)) / sw
+        - ex * ey
+    )
+    tr = exx + eyy
+    dt = exx * eyy - exy * exy
+    lam1 = 0.5 * tr + jnp.sqrt(jnp.maximum(0.25 * tr * tr - dt, 0.0))
+    e1 = jnp.stack([exy, lam1 - exx], axis=-1)
+    e2 = jnp.stack([lam1 - eyy, exy], axis=-1)
+    ev = jnp.where(
+        (jnp.linalg.norm(e1, axis=-1) > jnp.linalg.norm(e2, axis=-1))[:, None], e1, e2
+    )
+    ev = ev / jnp.maximum(jnp.linalg.norm(ev, axis=-1, keepdims=True), 1e-9)
+
+    # member-endpoint extent along the group direction
+    gd = ev[labels]  # (K, 2) group direction per member
+    gc = jnp.stack([ex, ey], axis=-1)[labels]
+    t_ep = jnp.sum((det.endpoints - gc[:, None, :]) * gd[:, None, :], axis=-1)  # (K, 2)
+    t_lo = jnp.min(jnp.where(det.valid[:, None], t_ep, jnp.inf), axis=1)
+    t_hi = jnp.max(jnp.where(det.valid[:, None], t_ep, -jnp.inf), axis=1)
+    g_lo = jax.ops.segment_min(t_lo, labels, K)
+    g_hi = jax.ops.segment_max(t_hi, labels, K)
+    g_lo = jnp.where(jnp.isfinite(g_lo), g_lo, 0.0)
+    g_hi = jnp.where(jnp.isfinite(g_hi), g_hi, 0.0)
+
+    c = jnp.stack([ex, ey], axis=-1)
+    new_p0 = c + g_lo[:, None] * ev
+    new_p1 = c + g_hi[:, None] * ev
+    new_resp = seg(w)
+    new_width = seg(w * det.width) / sw
+    new_len = g_hi - g_lo
+    return DetectedLines(
+        endpoints=jnp.stack([new_p0, new_p1], axis=1),
+        valid=is_rep,
+        response=new_resp,
+        angle=jnp.arctan2(ev[:, 1], ev[:, 0]),
+        width=new_width,
+        midpoint=c + 0.5 * (g_lo + g_hi)[:, None] * ev,
+        length=new_len,
     )

@@ -1,0 +1,270 @@
+"""Map data model: keyframes, 3D line landmarks, covisibility (SURVEY §2 L3).
+
+The reference's `Map`/`KeyFrame`/`MapLine` are mutex-guarded C++ object graphs
+(three threads mutate them concurrently). The rebuild is single-host-threaded
+by design (SURVEY §7 'race detection: eliminated by design'), so the map is
+plain host bookkeeping: a fixed-capacity struct-of-arrays for landmarks
+(device-uploadable without repacking) plus light per-keyframe python state.
+
+Layout choices are TPU-driven:
+- `MapLineStore` is SoA with capacity `Lmax`: the local-BA window assembly
+  and projection-guided matching gather slices of these arrays directly into
+  padded device buffers.
+- observations are stored twice: per-line dict (line -> kf, feature index)
+  for BA assembly, and per-keyframe array (feature index -> line id) for
+  matching/fusion. Both sides are O(1) to update and trivially serialized
+  for checkpointing.
+- covisibility weights are a dict keyed by unordered kf pairs; the graph
+  walks (local window, essential graph) are host-side and tiny compared to
+  the device solves they feed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tpuslam.frontend.frame import FrameFeatures
+
+
+def _as_np(f: FrameFeatures) -> FrameFeatures:
+    return FrameFeatures(*[np.asarray(x) for x in f])
+
+
+@dataclass
+class KeyFrame:
+    """A persistent frame promoted into the map."""
+
+    kid: int
+    frame_idx: int
+    timestamp: float
+    T_cw: np.ndarray  # (4, 4)
+    features: FrameFeatures  # numpy copies, capacity K
+    line_ids: np.ndarray  # (K,) int32: feature slot -> MapLine id (-1 = none)
+    is_bad: bool = False
+    # spanning tree / loop edges (SURVEY §2 'KeyFrame')
+    parent: Optional[int] = None
+    children: set = field(default_factory=set)
+    loop_edges: set = field(default_factory=set)
+    # set after global BA for map-correction propagation
+    T_cw_gba: Optional[np.ndarray] = None
+
+    @property
+    def T_wc(self) -> np.ndarray:
+        R = self.T_cw[:3, :3]
+        t = self.T_cw[:3, 3]
+        Ti = np.eye(4, dtype=self.T_cw.dtype)
+        Ti[:3, :3] = R.T
+        Ti[:3, 3] = -R.T @ t
+        return Ti
+
+    @property
+    def center(self) -> np.ndarray:
+        """Camera center in world coordinates."""
+        return self.T_wc[:3, 3]
+
+
+class MapLineStore:
+    """Fixed-capacity SoA store of 3D line landmarks (Pluecker, world frame).
+
+    Slot 0..capacity-1; `alive` marks active landmarks. Endpoints are kept
+    for visualization, culling, and endpoint-based re-triangulation; the
+    optimized state is the Pluecker vector (SURVEY §5).
+    """
+
+    def __init__(self, capacity: int = 16384, desc_words: int = 8):
+        self.capacity = capacity
+        self.plucker = np.zeros((capacity, 6), np.float32)
+        self.endpoints = np.zeros((capacity, 2, 3), np.float32)  # world 3D
+        self.alive = np.zeros(capacity, bool)
+        self.desc_bits = np.zeros((capacity, desc_words), np.uint32)
+        self.n_obs = np.zeros(capacity, np.int32)
+        self.first_kf = np.full(capacity, -1, np.int32)
+        # per-line observations: line id -> {kf id: feature slot}
+        self.obs: Dict[int, Dict[int, int]] = {}
+        self._next = 0
+        self._free: List[int] = []
+
+    def allocate(self, plucker, endpoints, desc_bits, first_kf: int) -> int:
+        if self._free:
+            lid = self._free.pop()
+        else:
+            lid = self._next
+            if lid >= self.capacity:
+                raise RuntimeError("MapLineStore capacity exceeded")
+            self._next += 1
+        self.plucker[lid] = plucker
+        self.endpoints[lid] = endpoints
+        self.desc_bits[lid] = desc_bits
+        self.alive[lid] = True
+        self.n_obs[lid] = 0
+        self.first_kf[lid] = first_kf
+        self.obs[lid] = {}
+        return lid
+
+    def add_observation(self, lid: int, kf: "KeyFrame", slot: int):
+        if not self.alive[lid]:
+            return
+        self.obs[lid][kf.kid] = slot
+        self.n_obs[lid] = len(self.obs[lid])
+        kf.line_ids[slot] = lid
+
+    def erase_observation(self, lid: int, kf: "KeyFrame"):
+        o = self.obs.get(lid)
+        if o is None or kf.kid not in o:
+            return
+        slot = o.pop(kf.kid)
+        if kf.line_ids[slot] == lid:
+            kf.line_ids[slot] = -1
+        self.n_obs[lid] = len(o)
+
+    def kill(self, lid: int, keyframes: Dict[int, "KeyFrame"]):
+        """SetBadFlag: remove the landmark and all its observations."""
+        if not self.alive[lid]:
+            return
+        for kid, slot in list(self.obs.get(lid, {}).items()):
+            kf = keyframes.get(kid)
+            if kf is not None and kf.line_ids[slot] == lid:
+                kf.line_ids[slot] = -1
+        self.obs.pop(lid, None)
+        self.alive[lid] = False
+        self._free.append(lid)
+
+    def replace(self, old: int, new: int, keyframes: Dict[int, "KeyFrame"]):
+        """Fuse duplicate landmarks: move old's observations onto new."""
+        if old == new or not self.alive[old]:
+            return
+        for kid, slot in list(self.obs.get(old, {}).items()):
+            kf = keyframes.get(kid)
+            if kf is None:
+                continue
+            if kid not in self.obs.setdefault(new, {}):
+                self.obs[new][kid] = slot
+                kf.line_ids[slot] = new
+            else:
+                if kf.line_ids[slot] == old:
+                    kf.line_ids[slot] = -1
+        self.n_obs[new] = len(self.obs[new])
+        self.obs.pop(old, None)
+        self.alive[old] = False
+        self._free.append(old)
+
+    def live_ids(self) -> np.ndarray:
+        return np.nonzero(self.alive)[0]
+
+
+class SlamMap:
+    """Global map: keyframes + line landmarks + covisibility graph."""
+
+    def __init__(self, line_capacity: int = 16384):
+        self.keyframes: Dict[int, KeyFrame] = {}
+        self.lines = MapLineStore(line_capacity)
+        self._next_kid = 0
+        # covisibility: kf id -> {other kf id: shared landmark count}
+        self.covis: Dict[int, Dict[int, int]] = {}
+        self.covis_threshold = 15
+
+    # ---- keyframes ------------------------------------------------------
+    def new_keyframe(
+        self, frame_idx: int, timestamp: float, T_cw: np.ndarray, features: FrameFeatures
+    ) -> KeyFrame:
+        f = _as_np(features)
+        kf = KeyFrame(
+            kid=self._next_kid,
+            frame_idx=frame_idx,
+            timestamp=timestamp,
+            T_cw=np.asarray(T_cw, np.float32).copy(),
+            features=f,
+            line_ids=np.full(f.valid.shape[0], -1, np.int32),
+        )
+        self._next_kid += 1
+        self.keyframes[kf.kid] = kf
+        self.covis[kf.kid] = {}
+        return kf
+
+    def erase_keyframe(self, kid: int):
+        """KeyFrame culling (redundant KFs). Re-parents spanning-tree
+        children to the culled node's parent."""
+        kf = self.keyframes.get(kid)
+        if kf is None:
+            return
+        for lid in np.unique(kf.line_ids):
+            if lid >= 0:
+                self.lines.erase_observation(int(lid), kf)
+        for other in list(self.covis.get(kid, {})):
+            self.covis.get(other, {}).pop(kid, None)
+        self.covis.pop(kid, None)
+        for child in kf.children:
+            ckf = self.keyframes.get(child)
+            if ckf is not None:
+                ckf.parent = kf.parent
+                if kf.parent is not None:
+                    self.keyframes[kf.parent].children.add(child)
+        if kf.parent is not None:
+            self.keyframes[kf.parent].children.discard(kid)
+        kf.is_bad = True
+        del self.keyframes[kid]
+
+    # ---- covisibility ---------------------------------------------------
+    def update_connections(self, kf: KeyFrame):
+        """Recount shared landmarks between kf and all keyframes observing
+        its landmarks; refresh both adjacency rows and the spanning tree
+        (reference behavior: parent = best covisible; SURVEY §2 'KeyFrame')."""
+        counts: Dict[int, int] = {}
+        for lid in kf.line_ids:
+            if lid < 0:
+                continue
+            for kid in self.lines.obs.get(int(lid), {}):
+                if kid != kf.kid:
+                    counts[kid] = counts.get(kid, 0) + 1
+        old = self.covis.get(kf.kid, {})
+        for other in list(old):
+            if other not in counts:
+                self.covis.get(other, {}).pop(kf.kid, None)
+        self.covis[kf.kid] = counts
+        for other, c in counts.items():
+            if other in self.covis:
+                self.covis[other][kf.kid] = c
+        if kf.parent is None and counts and kf.kid != min(self.keyframes):
+            best = max(counts, key=counts.get)
+            kf.parent = best
+            self.keyframes[best].children.add(kf.kid)
+
+    def covisible_keyframes(self, kid: int, n: int | None = None, min_weight: int = 1) -> List[int]:
+        """GetBestCovisibilityKeyFrames: neighbors sorted by weight desc."""
+        row = self.covis.get(kid, {})
+        ids = sorted(
+            (k for k, w in row.items() if w >= min_weight and k in self.keyframes),
+            key=lambda k: -row[k],
+        )
+        return ids if n is None else ids[:n]
+
+    # ---- queries --------------------------------------------------------
+    def all_keyframe_ids(self) -> List[int]:
+        return sorted(self.keyframes)
+
+    def local_window(self, kid: int, size: int) -> Tuple[List[int], List[int]]:
+        """(window KF ids, their landmark ids) for local BA: the current KF +
+        its best covisible KFs (SURVEY §4.3)."""
+        window = [kid] + self.covisible_keyframes(kid, n=size - 1)
+        lids = set()
+        for k in window:
+            kf = self.keyframes[k]
+            lids.update(int(l) for l in kf.line_ids if l >= 0)
+        return window, sorted(lids)
+
+    def essential_edges(self, min_weight: int = 100) -> List[Tuple[int, int]]:
+        """Essential graph: spanning tree + loop edges + strong covis edges."""
+        edges = set()
+        for kid, kf in self.keyframes.items():
+            if kf.parent is not None and kf.parent in self.keyframes:
+                edges.add((min(kid, kf.parent), max(kid, kf.parent)))
+            for le in kf.loop_edges:
+                if le in self.keyframes:
+                    edges.add((min(kid, le), max(kid, le)))
+            for other, w in self.covis.get(kid, {}).items():
+                if w >= min_weight and other in self.keyframes:
+                    edges.add((min(kid, other), max(kid, other)))
+        return sorted(edges)
