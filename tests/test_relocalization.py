@@ -1,0 +1,65 @@
+"""Failure detection / recovery (SURVEY §7): tracking loss -> relocalize.
+
+Fault injection: frames with no usable features (sensor blackout) force the
+LOST state; after the blackout the tracker must relocalize against the
+keyframe database and continue with a consistent pose.
+"""
+
+import numpy as np
+
+from tpuslam.backend.loop_closing import KeyFrameDatabase
+from tpuslam.backend.mapping import LocalMapper, MapperConfig
+from tpuslam.frontend.tracking import Tracker, TrackerConfig, TrackingState
+from tpuslam.geometry import Intrinsics
+from tpuslam.io.synthetic import make_wireframe_scene, synthetic_frame_features
+
+CAM = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0, width=640, height=480, baseline=0.11)
+
+
+def test_blackout_then_relocalize():
+    rng = np.random.default_rng(17)
+    n_frames = 24
+    scene = make_wireframe_scene(
+        rng, n_segments=150, n_frames=n_frames, cam=CAM, motion_scale=0.02
+    )
+    from tpuslam.slammap.map import SlamMap
+
+    smap = SlamMap()
+    tracker = Tracker(CAM, smap, TrackerConfig(max_frames_between_kf=4))
+    mapper = LocalMapper(smap, CAM, MapperConfig())
+    db = KeyFrameDatabase()
+    tracker.kf_db = db
+
+    def on_kf(kf):
+        mapper.process(kf)
+        db.add(kf)
+
+    tracker.on_new_keyframe = on_kf
+    mapper.on_map_changed = tracker.invalidate_local_map
+
+    states = []
+    poses = []
+    blackout = set(range(12, 16))
+    for f in range(n_frames):
+        feats, _ = synthetic_frame_features(scene, f, noise_px=0.3, rng=rng, with_depth=True)
+        if f in blackout:
+            feats = feats._replace(valid=np.zeros_like(np.asarray(feats.valid)))
+        tracker.frame_idx = f
+        r = tracker._track(feats, timestamp=f * 0.05, stereo=True)
+        states.append(r.state)
+        poses.append(r.T_cw)
+
+    assert states[11] == TrackingState.OK
+    assert any(s == TrackingState.LOST for s in states[12:16])
+    # recovery after blackout
+    assert states[-1] == TrackingState.OK
+    assert tracker.n_relocalizations >= 1
+    # recovered pose consistent with ground truth (rigid-align last 5 frames)
+    est = np.stack([np.linalg.inv(p)[:3, 3] for p in poses[-5:]])
+    gt = np.stack([np.linalg.inv(scene.poses[f])[:3, 3] for f in range(n_frames - 5, n_frames)])
+    from tpuslam.eval.ate import absolute_trajectory_error
+
+    # can't align 5 pts rigidly without bias; compare relative displacement
+    d_est = np.linalg.norm(np.diff(est, axis=0), axis=1)
+    d_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1)
+    assert np.allclose(d_est, d_gt, atol=0.05)

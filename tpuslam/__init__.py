@@ -12,3 +12,21 @@ A ground-up JAX/XLA/Pallas rebuild of a C++ line-SLAM system
 """
 
 __version__ = "0.1.0"
+
+from tpuslam.geometry.camera import Intrinsics  # noqa: E402
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import tpuslam` light)."""
+    if name == "System":
+        from tpuslam.system import System
+
+        return System
+    if name == "SlamMap":
+        from tpuslam.slammap.map import SlamMap
+
+        return SlamMap
+    raise AttributeError(name)
+
+
+__all__ = ["Intrinsics", "System", "SlamMap", "__version__"]

@@ -1,0 +1,327 @@
+"""Loop closing: detection, SE(3) correction, essential-graph optimization
+(SURVEY §4.4).
+
+The reference detects loops with a DBoW vocabulary. The TPU replacement is
+vocabulary-free brute-force descriptor scoring on the MXU (SURVEY §3.2
+'DBoW2/3 -> bit-packed matmul scoring'): at SLAM scale (hundreds of
+keyframes x 256 descriptors) one batched Hamming matmul against every past
+keyframe is cheap, exact, and needs no offline training.
+
+Pipeline per keyframe:
+  detect   -> MXU Hamming scoring vs the keyframe database, temporal
+              consistency check (2 consecutive hits on the same region)
+  compute  -> SE(3) from matched landmark 3D endpoints (RANSAC + Umeyama)
+  correct  -> propagate to covisible group, essential-graph LM
+              (backend.pose_graph), transform landmarks by their reference
+              keyframe's correction
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend.pose_graph import PoseGraphConfig, PoseGraphProblem, optimize_pose_graph
+from tpuslam.eval.ate import align_umeyama
+from tpuslam.geometry.plucker import plucker_transform
+from tpuslam.geometry.se3 import se3_apply, se3_inverse
+from tpuslam.kernels.match import MatchParams, hamming_distance_mxu, match_descriptors
+from tpuslam.slammap.map import KeyFrame, SlamMap
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _db_scores(
+    cur_bits: jnp.ndarray,  # (K, W)
+    cur_valid: jnp.ndarray,  # (K,)
+    db_bits: jnp.ndarray,  # (N, K, W)
+    db_valid: jnp.ndarray,  # (N, K)
+    tau: float = 60.0,
+    chunk: int = 32,
+):
+    """Per-keyframe similarity: count of current descriptors whose nearest
+    neighbor in that keyframe is within Hamming tau. One MXU matmul per
+    chunk of keyframes; (N,) int32 scores."""
+    N, K, W = db_bits.shape
+    pad = (-N) % chunk
+    db_bits = jnp.concatenate([db_bits, jnp.zeros((pad, K, W), db_bits.dtype)])
+    db_valid = jnp.concatenate([db_valid, jnp.zeros((pad, K), db_valid.dtype)])
+    n_chunks = (N + pad) // chunk
+
+    def body(_, cb):
+        bits_c, valid_c = cb  # (chunk, K, W), (chunk, K)
+        D = hamming_distance_mxu(cur_bits, bits_c.reshape(chunk * K, W), 256)
+        D = jnp.where(valid_c.reshape(-1)[None, :], D, 1e9)
+        best = jnp.min(D.reshape(K, chunk, K), axis=-1)  # (K, chunk)
+        score = jnp.sum((best < tau) & cur_valid[:, None], axis=0)
+        return None, score
+
+    _, scores = jax.lax.scan(
+        body,
+        None,
+        (
+            db_bits.reshape(n_chunks, chunk, K, W),
+            db_valid.reshape(n_chunks, chunk, K),
+        ),
+    )
+    return scores.reshape(-1)[:N].astype(jnp.int32)
+
+
+class KeyFrameDatabase:
+    """Inverted-file replacement: stacked per-KF binary descriptors, scored
+    densely on the MXU (SURVEY §2 'KeyFrameDatabase')."""
+
+    def __init__(self, capacity_hint: int = 256):
+        self.kids: List[int] = []
+        self._bits: List[np.ndarray] = []
+        self._valid: List[np.ndarray] = []
+
+    def add(self, kf: KeyFrame):
+        self.kids.append(kf.kid)
+        self._bits.append(np.asarray(kf.features.desc_bits))
+        self._valid.append(np.asarray(kf.features.valid))
+
+    def remove(self, kid: int):
+        if kid in self.kids:
+            i = self.kids.index(kid)
+            del self.kids[i], self._bits[i], self._valid[i]
+
+    def query_bits(self, bits: np.ndarray, valid: np.ndarray) -> Dict[int, int]:
+        if not self.kids:
+            return {}
+        db_bits = jnp.asarray(np.stack(self._bits))
+        db_valid = jnp.asarray(np.stack(self._valid))
+        scores = np.asarray(
+            _db_scores(
+                jnp.asarray(np.asarray(bits)),
+                jnp.asarray(np.asarray(valid)),
+                db_bits,
+                db_valid,
+            )
+        )
+        return dict(zip(self.kids, scores.tolist()))
+
+    def query(self, kf: KeyFrame) -> Dict[int, int]:
+        return self.query_bits(
+            np.asarray(kf.features.desc_bits), np.asarray(kf.features.valid)
+        )
+
+
+@dataclass
+class LoopConfig:
+    min_kid_gap: int = 25  # candidate must be this many keyframes old
+    min_score: int = 40  # absolute match-count floor
+    score_ratio: float = 1.1  # vs best covisible score
+    consistency: int = 2  # consecutive detections required
+    match: MatchParams = field(default_factory=lambda: MatchParams(max_dist=80.0, ratio=0.8))
+    ransac_iters: int = 200
+    ransac_inlier_m: float = 0.3
+    min_inliers: int = 8
+    covis_edge_weight: int = 50
+    pg: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+
+
+class LoopCloser:
+    """Host orchestration of loop detection + correction (SURVEY §4.4)."""
+
+    def __init__(
+        self,
+        slam_map: SlamMap,
+        cam,
+        cfg: LoopConfig = LoopConfig(),
+        db: KeyFrameDatabase | None = None,
+    ):
+        self.map = slam_map
+        self.cam = cam
+        self.cfg = cfg
+        self.db = db or KeyFrameDatabase()
+        self._consistent: List[int] = []  # recent candidate kids
+        self.closed_loops: List[Tuple[int, int]] = []
+
+    # ---- per-keyframe entry --------------------------------------------
+    def process(self, kf: KeyFrame) -> bool:
+        """Returns True if a loop was closed (map poses changed)."""
+        cand = self._detect(kf)
+        self.db.add(kf)
+        if cand is None:
+            self._consistent.clear()
+            return False
+        self._consistent.append(cand)
+        if len(self._consistent) < self.cfg.consistency or (
+            max(self._consistent) - min(self._consistent) > 10
+        ):
+            if len(self._consistent) > self.cfg.consistency:
+                self._consistent = self._consistent[-self.cfg.consistency :]
+            return False
+        ok = self._close(kf, cand)
+        self._consistent.clear()
+        return ok
+
+    # ---- detection ------------------------------------------------------
+    def _detect(self, kf: KeyFrame) -> Optional[int]:
+        scores = self.db.query(kf)
+        if not scores:
+            return None
+        covis = set(self.map.covisible_keyframes(kf.kid))
+        covis_scores = [s for k, s in scores.items() if k in covis]
+        baseline = max(covis_scores) if covis_scores else 0
+        best_kid, best_score = None, 0
+        for k, s in scores.items():
+            if k in covis or kf.kid - k < self.cfg.min_kid_gap:
+                continue
+            if k not in self.map.keyframes:
+                continue
+            if s > best_score:
+                best_kid, best_score = k, s
+        if best_kid is None:
+            return None
+        if best_score < max(self.cfg.min_score, self.cfg.score_ratio * baseline):
+            return None
+        return best_kid
+
+    # ---- SE(3) computation ---------------------------------------------
+    def _compute_se3(self, kf: KeyFrame, cand: KeyFrame) -> Optional[np.ndarray]:
+        """T_corr: candidate-camera -> current-camera, from matched landmark
+        endpoint midpoints (RANSAC + rigid Umeyama)."""
+        st = self.map.lines
+        m = match_descriptors(
+            jnp.asarray(np.asarray(kf.features.desc_bits)),
+            jnp.asarray(np.asarray(kf.features.valid) & (kf.line_ids >= 0)),
+            jnp.asarray(np.asarray(cand.features.desc_bits)),
+            jnp.asarray(np.asarray(cand.features.valid) & (cand.line_ids >= 0)),
+            self.cfg.match,
+        )
+        mv = np.asarray(m.valid)
+        midx = np.asarray(m.idx)
+        pts_cur, pts_cand = [], []
+        for s0 in np.nonzero(mv)[0]:
+            l0 = int(kf.line_ids[s0])
+            l1 = int(cand.line_ids[midx[s0]])
+            if l0 < 0 or l1 < 0 or not (st.alive[l0] and st.alive[l1]):
+                continue
+            # landmark endpoint midpoints in each KF's camera frame
+            mid0 = st.endpoints[l0].mean(axis=0)
+            mid1 = st.endpoints[l1].mean(axis=0)
+            pts_cur.append(kf.T_cw[:3, :3] @ mid0 + kf.T_cw[:3, 3])
+            pts_cand.append(cand.T_cw[:3, :3] @ mid1 + cand.T_cw[:3, 3])
+        if len(pts_cur) < self.cfg.min_inliers:
+            return None
+        A = np.stack(pts_cand)  # candidate-camera coords
+        B = np.stack(pts_cur)  # current-camera coords
+        rng = np.random.default_rng(kf.kid)
+        best_inl, best_T = 0, None
+        n = len(A)
+        for _ in range(self.cfg.ransac_iters):
+            idx = rng.choice(n, size=3, replace=False)
+            try:
+                s, R, t = align_umeyama(A[idx], B[idx])
+            except np.linalg.LinAlgError:
+                continue
+            err = np.linalg.norm((R @ A.T).T + t - B, axis=1)
+            inl = err < self.cfg.ransac_inlier_m
+            if inl.sum() > best_inl:
+                best_inl = int(inl.sum())
+                best_T = inl
+        if best_T is None or best_inl < self.cfg.min_inliers:
+            return None
+        s, R, t = align_umeyama(A[best_T], B[best_T])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return T
+
+    # ---- correction -----------------------------------------------------
+    def _close(self, kf: KeyFrame, cand_kid: int) -> bool:
+        cand = self.map.keyframes.get(cand_kid)
+        if cand is None:
+            return False
+        T_corr = self._compute_se3(kf, cand)
+        if T_corr is None:
+            return False
+
+        kids = self.map.all_keyframe_ids()
+        pos = {k: i for i, k in enumerate(kids)}
+        old_poses = {k: self.map.keyframes[k].T_cw.copy() for k in kids}
+
+        # corrected current pose: T_cw_new = T_corr @ T_cand_cw ... loop says
+        # current camera coords = T_corr @ candidate camera coords; landmarks
+        # seen from cand at its (trusted) pose project into kf at
+        # T_cw_new = T_corr^-1 ... derive: X_cur_cam = T_corr X_cand_cam with
+        # X_cand_cam = T_cand_cw X_w  =>  T_cw_new(kf) = T_corr @ T_cand_cw
+        T_kf_new = (T_corr @ cand.T_cw).astype(np.float32)
+
+        # ---- essential graph --------------------------------------------
+        E = []
+        meas = []
+        weights = []
+        for kid in kids:
+            k = self.map.keyframes[kid]
+            if k.parent is not None and k.parent in pos:
+                E.append((pos[kid], pos[k.parent]))
+                meas.append(old_poses[kid] @ np.linalg.inv(old_poses[k.parent]))
+                weights.append(100.0)
+            for le in k.loop_edges:
+                if le in pos and le < kid:
+                    E.append((pos[kid], pos[le]))
+                    meas.append(old_poses[kid] @ np.linalg.inv(old_poses[le]))
+                    weights.append(100.0)
+            for other, w in self.map.covis.get(kid, {}).items():
+                if other in pos and other < kid and w >= self.cfg.covis_edge_weight:
+                    E.append((pos[kid], pos[other]))
+                    meas.append(old_poses[kid] @ np.linalg.inv(old_poses[other]))
+                    weights.append(float(w) / 10.0)
+        # the loop edge itself: measured relative pose from T_corr
+        E.append((pos[kf.kid], pos[cand_kid]))
+        meas.append(T_kf_new @ np.linalg.inv(old_poses[cand_kid]))
+        weights.append(200.0)
+
+        P = len(kids)
+        poses0 = np.stack([old_poses[k] for k in kids])
+        # seed the current KF at its corrected pose to pull the graph
+        poses0[pos[kf.kid]] = T_kf_new
+        pose_free = np.ones(P, np.float32)
+        pose_free[pos[cand_kid]] = 0.0  # trust the loop side
+        pose_free[pos[kids[0]]] = 0.0  # gauge
+
+        prob = PoseGraphProblem(
+            poses=jnp.asarray(poses0),
+            pose_free=jnp.asarray(pose_free),
+            e_i=jnp.asarray([e[0] for e in E], jnp.int32),
+            e_j=jnp.asarray([e[1] for e in E], jnp.int32),
+            e_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
+            e_valid=jnp.ones(len(E), jnp.float32),
+            e_weight=jnp.asarray(weights, jnp.float32),
+        )
+        new_poses, _ = optimize_pose_graph(prob, self.cfg.pg)
+        new_poses = np.asarray(new_poses)
+
+        # ---- write back + landmark correction ---------------------------
+        corrections = {}
+        for kid in kids:
+            T_old = old_poses[kid]
+            T_new = new_poses[pos[kid]]
+            self.map.keyframes[kid].T_cw = T_new.astype(np.float32)
+            corrections[kid] = np.linalg.inv(T_new) @ T_old  # world_old -> world_new
+
+        st = self.map.lines
+        for lid in st.live_ids():
+            ref = int(st.first_kf[lid])
+            if ref not in corrections:
+                obs_k = next(iter(st.obs.get(int(lid), {})), None)
+                if obs_k is None or obs_k not in corrections:
+                    continue
+                ref = obs_k
+            C = corrections[ref].astype(np.float32)
+            st.endpoints[lid] = st.endpoints[lid] @ C[:3, :3].T + C[:3, 3]
+            st.plucker[lid] = np.asarray(
+                plucker_transform(jnp.asarray(C), jnp.asarray(st.plucker[lid]))
+            )
+
+        kf.loop_edges.add(cand_kid)
+        cand.loop_edges.add(kf.kid)
+        self.closed_loops.append((kf.kid, cand_kid))
+        return True

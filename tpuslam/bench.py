@@ -1,0 +1,70 @@
+"""Benchmark harness (SURVEY §8, BASELINE metric: stereo VGA tracking FPS).
+
+Measures steady-state per-frame tracking time of the full stereo pipeline
+(pyramid+LSD+LBD on both cameras, stereo association, two fused
+track-and-optimize dispatches) on 640x480 synthetic wireframe frames —
+the same shape class as EuRoC VGA. Warmup frames (jit compiles) excluded
+(SURVEY §7 'tracing/profiling').
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Dict:
+    import jax
+
+    from tpuslam.backend.mapping import MapperConfig
+    from tpuslam.geometry.camera import Intrinsics
+    from tpuslam.io.synthetic import make_wireframe_scene, render_wireframe_image
+    from tpuslam.system import System
+
+    cam = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0, width=640, height=480, baseline=0.11)
+    rng = np.random.default_rng(0)
+    n_scene_frames = max(frames + warmup, 8)
+    scene = make_wireframe_scene(
+        rng, n_segments=140, n_frames=n_scene_frames, cam=cam, motion_scale=0.02
+    )
+    Tb = np.eye(4, dtype=np.float32)
+    Tb[0, 3] = -cam.baseline
+    scene_r = scene._replace(poses=np.stack([Tb @ T for T in scene.poses]))
+
+    # pre-render all frames (image synthesis is not part of the benchmark)
+    imgs = []
+    for f in range(n_scene_frames):
+        il = render_wireframe_image(scene, f, noise=1.0, rng=rng).astype(np.float32) / 255.0
+        ir = render_wireframe_image(scene_r, f, noise=1.0, rng=rng).astype(np.float32) / 255.0
+        imgs.append((il, ir))
+
+    sys_ = System(cam, sensor="stereo", loop_closing=False)
+    times = []
+    ba_times = []
+    for f in range(n_scene_frames):
+        il, ir = imgs[f % n_scene_frames]
+        t0 = time.perf_counter()
+        sys_.track_stereo(il, ir, f * 0.05)
+        dt = time.perf_counter() - t0
+        if f >= warmup:
+            times.append(dt)
+    track = sys_.timer.summary().get("track", {})
+    lm = sys_.timer.summary().get("local_mapping", {})
+    med = float(np.median(times))
+    fps = 1.0 / med
+    out = dict(
+        device=str(jax.devices()[0]),
+        frames=len(times),
+        fps_median=fps,
+        fps_mean=float(1.0 / np.mean(times)),
+        track_ms_median=med * 1e3,
+        local_ba_ms=lm.get("median_ms", 0.0),
+        keyframes=len(sys_.map.keyframes),
+        lines=len(sys_.map.lines.live_ids()),
+    )
+    if not quiet:
+        print(json.dumps(out, default=float))
+    return out

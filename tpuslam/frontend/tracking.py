@@ -98,6 +98,9 @@ class Tracker:
         self._local_dirty = True
         # callbacks installed by the mapping back-end
         self.on_new_keyframe = None
+        # keyframe database for relocalization (installed by System)
+        self.kf_db = None
+        self.n_relocalizations = 0
 
     # ---- public API ----------------------------------------------------
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> FrameResult:
@@ -125,6 +128,16 @@ class Tracker:
                 self.state,
                 made_keyframe=ok,
             )
+
+        if self.state == TrackingState.LOST:
+            reloc = self._relocalize(feats)
+            if reloc is None:
+                return FrameResult(
+                    self.frame_idx, timestamp, self.T_cw.copy(), TrackingState.LOST
+                )
+            self.T_cw = reloc
+            self.last_T_cw = reloc.copy()
+            self.velocity = np.eye(4, dtype=np.float32)
 
         T_pred = (
             self.velocity @ self.last_T_cw
@@ -291,6 +304,52 @@ class Tracker:
         for slot in np.nonzero(ok)[0]:
             lid = self.map.lines.allocate(plucker[slot], ep3d[slot], bits[slot], kf.kid)
             self.map.lines.add_observation(lid, kf, int(slot))
+
+    # ---- relocalization -------------------------------------------------
+    def _relocalize(self, feats: FrameFeatures):
+        """SURVEY §4.2 Relocalization(): keyframe-database query + descriptor
+        match against the candidate's landmarks + pose-only LM from its pose.
+        Returns a recovered T_cw or None."""
+        if self.kf_db is None:
+            return None
+        scores = self.kf_db.query_bits(np.asarray(feats.desc_bits), np.asarray(feats.valid))
+        cands = sorted(
+            (k for k in scores if k in self.map.keyframes),
+            key=lambda k: -scores[k],
+        )[:3]
+        st = self.map.lines
+        for kid in cands:
+            if scores[kid] < self.cfg.min_track_matches:
+                break
+            kf = self.map.keyframes[kid]
+            # candidate landmark set: lines observed by this KF + neighbors
+            _, lids = self.map.local_window(kid, 5)
+            lids = [l for l in lids if st.alive[l]][: self.cfg.local_capacity]
+            if len(lids) < self.cfg.min_track_inliers:
+                continue
+            NL = self.cfg.local_capacity
+            ids = np.zeros(NL, np.int32)
+            ids[: len(lids)] = lids
+            valid = np.zeros(NL, bool)
+            valid[: len(lids)] = True
+            res: TrackStepResult = tracked_pose_step(
+                jnp.asarray(kf.T_cw),
+                jnp.asarray(st.plucker[ids]),
+                jnp.asarray(st.endpoints[ids]),
+                jnp.asarray(st.desc_bits[ids]),
+                jnp.asarray(valid),
+                feats,
+                self.cam,
+                self.cfg.search_coarse._replace(radius=1e6),  # no prior: global search
+                self.cfg.pose_opt,
+            )
+            if int(res.num_inliers) >= self.cfg.min_track_inliers:
+                self.ref_kf = kid
+                self.n_relocalizations += 1
+                self.state = TrackingState.OK
+                self._local_dirty = True
+                return np.asarray(res.pose)
+        return None
 
     # ---- local map cache ------------------------------------------------
     def invalidate_local_map(self):

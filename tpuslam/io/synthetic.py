@@ -156,6 +156,82 @@ def observe_frame(
     )
 
 
+def synthetic_frame_features(
+    scene: SyntheticScene,
+    frame: int,
+    capacity: int = 256,
+    noise_px: float = 0.0,
+    rng: np.random.Generator | None = None,
+    with_depth: bool = False,
+    desc_seed: int = 1234,
+    drop_prob: float = 0.0,
+):
+    """Detector-bypassing FrameFeatures: projected ground-truth segments with
+    identity-stable binary descriptors (segment s always hashes to the same
+    256 bits), so matching is exact and tracking/BA can be tested in
+    isolation (SURVEY §6.2 'integration: synthetic SLAM')."""
+    from tpuslam.frontend.frame import FrameFeatures
+
+    obs = observe_frame(scene, frame, noise_px=noise_px, rng=rng)
+    S = scene.segments.shape[0]
+    drs = np.random.RandomState(desc_seed)
+    all_bits = drs.randint(0, 2**32, size=(S, 8), dtype=np.uint64).astype(np.uint32)
+    all_desc = drs.standard_normal((S, 72)).astype(np.float32)
+
+    vis = np.nonzero(obs.seg_visible)[0]
+    if drop_prob > 0 and rng is not None:
+        vis = vis[rng.random(len(vis)) > drop_prob]
+    vis = vis[:capacity]
+    n = len(vis)
+
+    K = capacity
+    ep = np.zeros((K, 2, 2), np.float32)
+    valid = np.zeros(K, bool)
+    angle = np.zeros(K, np.float32)
+    length = np.zeros(K, np.float32)
+    mid = np.zeros((K, 2), np.float32)
+    resp = np.zeros(K, np.float32)
+    sigma = np.ones(K, np.float32)
+    desc = np.zeros((K, 72), np.float32)
+    bits = np.zeros((K, 8), np.uint32)
+    depth = np.zeros((K, 2), np.float32)
+    has_depth = np.zeros(K, bool)
+
+    ep[:n] = obs.seg_uv[vis]
+    valid[:n] = True
+    d = ep[:n, 1] - ep[:n, 0]
+    angle[:n] = np.arctan2(d[:, 1], d[:, 0])
+    length[:n] = np.linalg.norm(d, axis=-1)
+    mid[:n] = ep[:n].mean(axis=1)
+    resp[:n] = length[:n]
+    desc[:n] = all_desc[vis]
+    bits[:n] = all_bits[vis]
+
+    if with_depth:
+        T = scene.poses[frame]
+        seg_c = scene.segments @ T[:3, :3].T + T[:3, 3]
+        depth[:n] = seg_c[vis][:, :, 2]
+        has_depth[:n] = np.all(depth[:n] > 0.1, axis=-1)
+
+    return (
+        FrameFeatures(
+            endpoints=ep,
+            valid=valid,
+            angle=angle,
+            length=length,
+            midpoint=mid,
+            response=resp,
+            level=np.zeros(K, np.int32),
+            sigma=sigma,
+            desc=desc,
+            desc_bits=bits,
+            depth=depth,
+            has_depth=has_depth,
+        ),
+        vis,
+    )
+
+
 def render_wireframe_image(
     scene: SyntheticScene,
     frame: int,
