@@ -1,0 +1,139 @@
+"""Loop closure (SURVEY §4.4, config #4 analog on synthetic).
+
+Two layers:
+- detection: MXU database scoring must rank the revisited start region top
+  among temporally-distant keyframes when the camera returns.
+- correction machinery: on a hand-built drifted map with duplicate landmarks
+  (the state real drift produces), ComputeSE3 must recover the drift and the
+  essential-graph + landmark correction must pull the trajectory back.
+
+The full-tracking path cannot exercise explicit closure here: with identity
+descriptors and a small synthetic loop, projection-guided matching re-finds
+the start landmarks directly (implicit closure via map reuse), which
+test_slam_synthetic already covers.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuslam.backend.loop_closing import LoopCloser, LoopConfig
+from tpuslam.geometry import Intrinsics, se3_exp
+from tpuslam.io.synthetic import make_loop_scene, synthetic_frame_features
+from tpuslam.slammap.map import SlamMap
+
+CAM = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0, width=640, height=480, baseline=0.11)
+
+
+def _build_drifted_loop(n_kf=10, drift_xi=(0.02, 0.01, -0.015, 0.002, 0.003, -0.002)):
+    """Keyframes around a circle; pose k gets cumulative drift exp(k*xi).
+    Start-region landmarks are bound to KF0 at TRUE world positions; the
+    returning keyframe (same viewpoint as KF0) gets DUPLICATE landmarks at
+    positions consistent with its drifted pose."""
+    rng = np.random.default_rng(5)
+    n_frames = n_kf
+    scene = make_loop_scene(rng, n_segments=280, n_frames=n_frames, radius=6.0, room=10.0, cam=CAM)
+    smap = SlamMap()
+    closer = LoopCloser(smap, CAM, LoopConfig(min_kid_gap=3, min_inliers=6, ransac_inlier_m=0.5, run_global_ba=False))
+
+    drift_step = np.asarray(se3_exp(jnp.asarray(drift_xi, jnp.float32)))
+    kfs = []
+    cum = np.eye(4, dtype=np.float32)
+    true_poses = []
+    for f in range(n_frames):
+        feats, vis = synthetic_frame_features(scene, f, with_depth=True)
+        T_true = scene.poses[f]
+        T_drift = (cum @ T_true).astype(np.float32)  # drifted estimate
+        kf = smap.new_keyframe(f, f * 0.1, T_drift, feats)
+        kfs.append((kf, vis, T_true))
+        true_poses.append(T_true)
+        cum = (drift_step @ cum).astype(np.float32)
+
+    st = smap.lines
+
+    def bind_landmarks(kf, vis, use_pose):
+        """Allocate landmarks for this KF's features, with world geometry
+        derived from `use_pose` (camera-frame truth re-anchored)."""
+        feats = kf.features
+        T_true_wc = np.linalg.inv(true_poses[kf.frame_idx])
+        bits = np.asarray(feats.desc_bits)
+        Twc = np.linalg.inv(use_pose)
+        for slot in range(int(np.asarray(feats.valid).sum())):
+            seg_id = vis[slot]
+            ep_world_true = scene.segments[seg_id]  # (2, 3) true world
+            # camera-frame geometry under the TRUE pose
+            ep_cam = ep_world_true @ true_poses[kf.frame_idx][:3, :3].T + true_poses[kf.frame_idx][:3, 3]
+            # re-anchored world position under use_pose
+            ep_w = ep_cam @ Twc[:3, :3].T + Twc[:3, 3]
+            plk = np.concatenate([np.cross(ep_w[0], ep_w[1]), ep_w[1] - ep_w[0]])
+            lid = st.allocate(plk.astype(np.float32), ep_w.astype(np.float32), bits[slot], kf.kid)
+            st.add_observation(lid, kf, slot)
+
+    # KF0 and neighbors: true geometry
+    for kf, vis, T_true in kfs[:3]:
+        bind_landmarks(kf, vis, kf.T_cw * 0 + true_poses[kf.frame_idx])  # true pose
+    # middle keyframes: no landmarks needed for the machinery test
+    # last keyframe: duplicates at drifted positions
+    kf_last, vis_last, _ = kfs[-1]
+    bind_landmarks(kf_last, vis_last, kf_last.T_cw)
+    for kf, _, _ in kfs:
+        kf.parent = kf.kid - 1 if kf.kid > 0 else None
+        if kf.parent is not None:
+            smap.keyframes[kf.parent].children.add(kf.kid)
+    return scene, smap, closer, kfs, true_poses
+
+
+class TestLoopMachinery:
+    def test_compute_se3_recovers_drift(self):
+        scene, smap, closer, kfs, true_poses = _build_drifted_loop()
+        kf_last = kfs[-1][0]
+        kf0 = kfs[0][0]
+        T_corr = closer._compute_se3(kf_last, kf0)
+        assert T_corr is not None
+        # corrected pose of the last KF should be ~ its true pose... the
+        # camera returned to the frame-0 viewpoint region; ground truth:
+        T_true_last = true_poses[kf_last.frame_idx]
+        T_corrected = T_corr @ kf0.T_cw
+        err = np.linalg.norm(T_corrected[:3, 3] - T_true_last[:3, 3])
+        err_before = np.linalg.norm(kf_last.T_cw[:3, 3] - T_true_last[:3, 3])
+        assert err < 0.3 * err_before + 1e-3, (err, err_before)
+
+    def test_close_corrects_trajectory(self):
+        scene, smap, closer, kfs, true_poses = _build_drifted_loop()
+        kf_last = kfs[-1][0]
+        before = np.stack(
+            [np.linalg.norm(kf.T_cw[:3, 3] - true_poses[kf.frame_idx][:3, 3]) for kf, _, _ in kfs]
+        )
+        ok = closer._close(kf_last, 0)
+        assert ok
+        after = np.stack(
+            [
+                np.linalg.norm(
+                    smap.keyframes[kf.kid].T_cw[:3, 3] - true_poses[kf.frame_idx][:3, 3]
+                )
+                for kf, _, _ in kfs
+            ]
+        )
+        # end-of-loop error must collapse; average error must improve
+        assert after[-1] < 0.3 * before[-1] + 1e-3
+        assert after.mean() < before.mean()
+        assert (kf_last.kid, 0) in closer.closed_loops or (0, kf_last.kid) in closer.closed_loops
+
+    def test_detection_scores_rank_revisit(self):
+        rng = np.random.default_rng(9)
+        n_frames = 40
+        scene = make_loop_scene(rng, n_segments=280, n_frames=n_frames, radius=6.0, room=10.0, cam=CAM)
+        smap = SlamMap()
+        closer = LoopCloser(smap, CAM, LoopConfig())
+        # register keyframes around the circle
+        for f in range(0, n_frames, 4):
+            feats, _ = synthetic_frame_features(scene, f, noise_px=0.3, rng=rng)
+            kf = smap.new_keyframe(f, f * 0.1, scene.poses[f], feats)
+            closer.db.add(kf)
+        # a query at the start viewpoint (frame 0 again, new noise)
+        feats_q, _ = synthetic_frame_features(scene, 0, noise_px=0.5, rng=rng)
+        kfq = smap.new_keyframe(n_frames, n_frames * 0.1, scene.poses[0], feats_q)
+        scores = closer.db.query(kfq)
+        # the best-scoring database keyframe must be the start region (kid 0
+        # or its immediate neighbors), not the middle of the loop
+        best = max(scores, key=scores.get)
+        assert best in (0, 1, len(scores) - 1), scores

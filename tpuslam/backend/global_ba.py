@@ -1,0 +1,121 @@
+"""Global bundle adjustment: full-map LM+Schur (SURVEY §4.4
+'GlobalBundleAdjustment', launched after loop closure).
+
+Same jitted solver as local BA (`backend.lm.run_lm`); the assembly gathers
+ALL keyframes + landmarks, bucketed to fixed capacities. Maps that exceed
+the largest bucket keep the strongest landmarks (most observations) — the
+long tail of weakly-observed lines contributes little to the solution and
+is re-optimized by subsequent local windows anyway.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuslam.backend.lm import BAProblem, LMConfig
+from tpuslam.backend.local_ba import _bucket, _project_endpoints_to_line, _run_lm_jit
+from tpuslam.geometry.camera import Intrinsics
+from tpuslam.slammap.map import SlamMap
+
+
+class GlobalBAConfig(NamedTuple):
+    pose_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256)
+    line_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
+    obs_buckets: Tuple[int, ...] = (1024, 2048, 4096, 8192, 16384)
+    lm: LMConfig = LMConfig(max_iters=12)
+
+
+class GlobalBAStats(NamedTuple):
+    n_poses: int
+    n_lines: int
+    n_obs: int
+    cost: float
+
+
+def global_bundle_adjustment(
+    slam_map: SlamMap, cam: Intrinsics, cfg: GlobalBAConfig = GlobalBAConfig()
+) -> GlobalBAStats:
+    kids = slam_map.all_keyframe_ids()
+    st = slam_map.lines
+    live = [int(l) for l in st.live_ids() if st.n_obs[l] >= 2]
+    P = _bucket(len(kids), cfg.pose_buckets)
+    L = _bucket(len(live), cfg.line_buckets)
+    if len(kids) > P:
+        raise ValueError(f"map too large for global BA buckets: {len(kids)} KFs")
+    if len(live) > L:
+        live = sorted(live, key=lambda l: -int(st.n_obs[l]))[:L]
+
+    kf_pos = {k: i for i, k in enumerate(kids)}
+    line_pos = {l: i for i, l in enumerate(live)}
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+    pose_free = np.zeros(P, np.float32)
+    for k, i in kf_pos.items():
+        poses[i] = slam_map.keyframes[k].T_cw
+        pose_free[i] = 0.0 if k == kids[0] else 1.0  # gauge: first KF
+
+    lines = np.zeros((L, 6), np.float32)
+    line_valid = np.zeros(L, np.float32)
+    for l, i in line_pos.items():
+        lines[i] = st.plucker[l]
+        line_valid[i] = 1.0
+
+    rows = []
+    for l in live:
+        for kid, slot in st.obs.get(l, {}).items():
+            if kid in kf_pos:
+                rows.append((kf_pos[kid], line_pos[l], kid, slot))
+    OL = _bucket(len(rows), cfg.obs_buckets)
+    rows = rows[:OL]
+    l_pose = np.zeros(OL, np.int32)
+    l_line = np.zeros(OL, np.int32)
+    l_ep = np.zeros((OL, 2, 2), np.float32)
+    l_sigma = np.ones(OL, np.float32)
+    l_valid = np.zeros(OL, np.float32)
+    for r, (pi, li, kid, slot) in enumerate(rows):
+        kf = slam_map.keyframes[kid]
+        l_pose[r] = pi
+        l_line[r] = li
+        l_ep[r] = kf.features.endpoints[slot]
+        l_sigma[r] = kf.features.sigma[slot]
+        l_valid[r] = 1.0
+
+    prob = BAProblem(
+        poses=jnp.asarray(poses),
+        pose_free=jnp.asarray(pose_free),
+        lines=jnp.asarray(lines),
+        line_valid=jnp.asarray(line_valid),
+        points=jnp.zeros((1, 3), jnp.float32),
+        point_valid=jnp.zeros(1, jnp.float32),
+        l_pose=jnp.asarray(l_pose),
+        l_line=jnp.asarray(l_line),
+        l_endpoints=jnp.asarray(l_ep),
+        l_valid=jnp.asarray(l_valid),
+        l_sigma=jnp.asarray(l_sigma),
+        p_pose=jnp.zeros(1, jnp.int32),
+        p_point=jnp.zeros(1, jnp.int32),
+        p_uv=jnp.zeros((1, 2), jnp.float32),
+        p_valid=jnp.zeros(1, jnp.float32),
+        p_sigma=jnp.ones(1, jnp.float32),
+    )
+    state = _run_lm_jit(prob, cam, cfg.lm)
+
+    new_poses = np.asarray(state.poses)
+    for k, i in kf_pos.items():
+        if pose_free[i] > 0.5:
+            slam_map.keyframes[k].T_cw = new_poses[i]
+    new_lines = np.asarray(state.lines)
+    for l, i in line_pos.items():
+        if st.alive[l]:
+            st.plucker[l] = new_lines[i]
+            st.endpoints[l] = _project_endpoints_to_line(st.endpoints[l], new_lines[i])
+
+    return GlobalBAStats(
+        n_poses=len(kids),
+        n_lines=len(live),
+        n_obs=len(rows),
+        cost=float(np.asarray(state.cost)),
+    )

@@ -51,13 +51,17 @@ def _db_scores(
     db_bits = jnp.concatenate([db_bits, jnp.zeros((pad, K, W), db_bits.dtype)])
     db_valid = jnp.concatenate([db_valid, jnp.zeros((pad, K), db_valid.dtype)])
     n_chunks = (N + pad) // chunk
+    curvalf = cur_valid.astype(jnp.float32)
 
     def body(_, cb):
-        bits_c, valid_c = cb  # (chunk, K, W), (chunk, K)
+        bits_c, validf_c = cb  # (chunk, K, W), (chunk, K) f32
         D = hamming_distance_mxu(cur_bits, bits_c.reshape(chunk * K, W), 256)
-        D = jnp.where(valid_c.reshape(-1)[None, :], D, 1e9)
+        # additive penalty, no boolean select (see kernels/match.py docstring)
+        D = D + (1.0 - validf_c.reshape(-1))[None, :] * 1e4
         best = jnp.min(D.reshape(K, chunk, K), axis=-1)  # (K, chunk)
-        score = jnp.sum((best < tau) & cur_valid[:, None], axis=0)
+        # exact hard count via clip: Hamming distances are integer-valued,
+        # so clip(tau - best, 0, 1) is 1 iff best <= tau - 1
+        score = jnp.sum(jnp.clip(tau - best, 0.0, 1.0) * curvalf[:, None], axis=0)
         return None, score
 
     _, scores = jax.lax.scan(
@@ -65,7 +69,7 @@ def _db_scores(
         None,
         (
             db_bits.reshape(n_chunks, chunk, K, W),
-            db_valid.reshape(n_chunks, chunk, K),
+            db_valid.astype(jnp.float32).reshape(n_chunks, chunk, K),
         ),
     )
     return scores.reshape(-1)[:N].astype(jnp.int32)
@@ -116,6 +120,8 @@ class LoopConfig:
     min_kid_gap: int = 25  # candidate must be this many keyframes old
     min_score: int = 40  # absolute match-count floor
     score_ratio: float = 1.1  # vs best covisible score
+    covis_exclude_weight: int = 10  # only strongly-covisible KFs are
+    # excluded as candidates (weight-1 links span far too wide an arc)
     consistency: int = 2  # consecutive detections required
     match: MatchParams = field(default_factory=lambda: MatchParams(max_dist=80.0, ratio=0.8))
     ransac_iters: int = 200
@@ -123,6 +129,7 @@ class LoopConfig:
     min_inliers: int = 8
     covis_edge_weight: int = 50
     pg: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+    run_global_ba: bool = True  # full-map BA after the essential graph
 
 
 class LoopCloser:
@@ -166,7 +173,9 @@ class LoopCloser:
         scores = self.db.query(kf)
         if not scores:
             return None
-        covis = set(self.map.covisible_keyframes(kf.kid))
+        covis = set(
+            self.map.covisible_keyframes(kf.kid, min_weight=self.cfg.covis_exclude_weight)
+        )
         covis_scores = [s for k, s in scores.items() if k in covis]
         baseline = max(covis_scores) if covis_scores else 0
         best_kid, best_score = None, 0
@@ -324,4 +333,14 @@ class LoopCloser:
         kf.loop_edges.add(cand_kid)
         cand.loop_edges.add(kf.kid)
         self.closed_loops.append((kf.kid, cand_kid))
+
+        if self.cfg.run_global_ba:
+            # SURVEY §4.4: the reference launches global BA on a thread after
+            # the essential graph; here it runs synchronously (host schedule)
+            from tpuslam.backend.global_ba import global_bundle_adjustment
+
+            try:
+                global_bundle_adjustment(self.map, self.cam)
+            except ValueError:
+                pass  # map exceeds the largest bucket; pose graph already ran
         return True

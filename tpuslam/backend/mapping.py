@@ -28,7 +28,7 @@ from tpuslam.geometry.triangulate import (
     projection_matrix,
     triangulate_plucker_two_view,
 )
-from tpuslam.kernels.match import MatchParams, angle_gate, match_descriptors
+from tpuslam.kernels.match import MatchParams, angle_penalty, match_descriptors
 from tpuslam.slammap.map import KeyFrame, SlamMap
 
 
@@ -119,12 +119,10 @@ class LocalMapper:
             nfree = (nkf.line_ids < 0) & np.asarray(nkf.features.valid)
             if nfree.sum() == 0:
                 continue
-            gate = np.asarray(
-                angle_gate(
-                    jnp.asarray(np.asarray(f.angle)),
-                    jnp.asarray(np.asarray(nkf.features.angle)),
-                    0.35,
-                )
+            pen = angle_penalty(
+                jnp.asarray(np.asarray(f.angle)),
+                jnp.asarray(np.asarray(nkf.features.angle)),
+                0.35,
             )
             m = match_descriptors(
                 jnp.asarray(np.asarray(f.desc_bits)),
@@ -132,7 +130,7 @@ class LocalMapper:
                 jnp.asarray(np.asarray(nkf.features.desc_bits)),
                 jnp.asarray(nfree),
                 self.cfg.tri_match,
-                jnp.asarray(gate),
+                pen,
             )
             mv = np.asarray(m.valid)
             if mv.sum() == 0:

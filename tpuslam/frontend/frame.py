@@ -24,10 +24,10 @@ from tpuslam.kernels.lbd import LBDParams, lbd_descriptors
 from tpuslam.kernels.lsd import DetectedLines, LSDParams, detect_lines
 from tpuslam.kernels.match import (
     MatchParams,
-    angle_gate,
-    length_ratio_gate,
+    angle_penalty,
+    length_ratio_penalty,
     match_descriptors,
-    stereo_row_gate,
+    stereo_row_penalty,
 )
 
 
@@ -144,15 +144,15 @@ def stereo_line_depths(
     (SURVEY §4.2 '[DEV: Hamming top-k on MXU]'). Near-horizontal lines are
     rejected (disparity ill-conditioned along the epipolar direction).
     """
-    gate = (
-        stereo_row_gate(
+    pen = (
+        stereo_row_penalty(
             left.midpoint, right.midpoint, params.max_dy, params.min_disp, params.max_disp
         )
-        & angle_gate(left.angle, right.angle, params.angle_tol)
-        & length_ratio_gate(left.length, right.length, params.min_len_ratio)
+        + angle_penalty(left.angle, right.angle, params.angle_tol)
+        + length_ratio_penalty(left.length, right.length, params.min_len_ratio)
     )
     m = match_descriptors(
-        left.desc_bits, left.valid, right.desc_bits, right.valid, params.match, gate
+        left.desc_bits, left.valid, right.desc_bits, right.valid, params.match, pen
     )
 
     r_ep = right.endpoints[jnp.maximum(m.idx, 0)]  # (K, 2, 2)

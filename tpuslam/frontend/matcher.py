@@ -27,9 +27,9 @@ from tpuslam.geometry.se3 import se3_apply
 from tpuslam.kernels.match import (
     MatchParams,
     MatchResult,
-    angle_gate,
+    angle_penalty,
     match_descriptors,
-    midpoint_radius_gate,
+    midpoint_radius_penalty,
 )
 
 
@@ -81,7 +81,7 @@ def search_by_projection(
     _, mid, ang, visible = project_map_lines(
         T_cw, map_ep3d, cam, params.min_z, params.margin
     )
-    gate = midpoint_radius_gate(mid, feats.midpoint, params.radius) & angle_gate(
+    pen = midpoint_radius_penalty(mid, feats.midpoint, params.radius) + angle_penalty(
         ang, feats.angle, params.angle_tol
     )
     return match_descriptors(
@@ -90,7 +90,7 @@ def search_by_projection(
         feats.desc_bits,
         feats.valid,
         params.match,
-        gate,
+        pen,
     )
 
 

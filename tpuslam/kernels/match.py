@@ -11,10 +11,14 @@ TPU formulation is dense and batched:
 
   One (KA, B) x (B, KB) matmul replaces KA*KB popcount loops. A popcount
   XOR route is kept as the test oracle (`hamming_distance_matrix`).
-- Geometric gates (angle consistency, length ratio, endpoint distance,
-  projection distance) become additive masks on the distance matrix.
-- Mutual-best + ratio-test selection is two rows of argmin over the gated
-  matrix — no data-dependent control flow, fixed shapes throughout.
+- Geometric gates are **additive f32 penalties**, not boolean masks: on the
+  axon Mosaic backend a `jnp.where(bool_matrix, ...)` feeding a reduction
+  or sort scalarizes catastrophically (ms-scale dispatches, minutes-long
+  compiles that fall back to the remote compile service). Penalties keep
+  every op a dense f32 VPU op: gate(x) = max(violation, 0) * BIG.
+- Best/second-best selection is `top_k(2)` on the penalized matrix; the
+  mutual check is a column argmin + vector gather (vector-level selects and
+  gathers are cheap; matrix-level ones are not).
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 INF = jnp.float32(1e9)
+_PEN = jnp.float32(1e6)  # generic gate penalty scale (>> any Hamming dist)
 
 
 def unpack_bits(words: jnp.ndarray, n_bits: int) -> jnp.ndarray:
@@ -77,22 +82,26 @@ class MatchParams(NamedTuple):
     n_bits: int = 256
 
 
-def _gated_select(D: jnp.ndarray, params: MatchParams) -> MatchResult:
-    """Row-wise best+ratio (+ optional mutual-consistency) on a gated matrix."""
-    KA, KB = D.shape
-    best_j = jnp.argmin(D, axis=1)  # (KA,)
-    best = jnp.min(D, axis=1)
-    second = jnp.min(
-        jnp.where(jax.nn.one_hot(best_j, KB, dtype=bool), INF, D), axis=1
-    )
-    ok = (best <= params.max_dist) & (best <= params.ratio * second)
+def _as_f32(v: jnp.ndarray) -> jnp.ndarray:
+    return v if v.dtype == jnp.float32 else v.astype(jnp.float32)
+
+
+def _select_from_penalized(Dg: jnp.ndarray, params: MatchParams) -> MatchResult:
+    """Best+ratio(+mutual) selection on an additively-penalized matrix."""
+    KA = Dg.shape[0]
+    neg2, idx2 = jax.lax.top_k(-Dg, 2)  # (KA, 2)
+    best = -neg2[:, 0]
+    second = -neg2[:, 1]
+    best_j = idx2[:, 0]
+    okf = _as_f32(best <= params.max_dist) * _as_f32(best <= params.ratio * second)
     if params.mutual:
-        best_i = jnp.argmin(D, axis=0)  # (KB,)
-        ok &= best_i[best_j] == jnp.arange(KA)
+        best_i = jnp.argmin(Dg, axis=0)  # (KB,)
+        okf = okf * _as_f32(best_i[best_j] == jnp.arange(KA))
+    oki = okf.astype(jnp.int32)
     return MatchResult(
-        idx=jnp.where(ok, best_j, -1).astype(jnp.int32),
-        dist=jnp.where(ok, best, INF),
-        valid=ok,
+        idx=best_j * oki - (1 - oki),
+        dist=best + (1.0 - okf) * INF,
+        valid=okf > 0.5,
     )
 
 
@@ -102,47 +111,45 @@ def match_descriptors(
     bits_b: jnp.ndarray,
     valid_b: jnp.ndarray,
     params: MatchParams = MatchParams(),
-    gate_mask: jnp.ndarray | None = None,
+    gate_penalty: jnp.ndarray | None = None,
 ) -> MatchResult:
     """Mutual-best descriptor matching A->B with validity + optional gates.
 
-    gate_mask: optional (KA, KB) bool — True where the pair is geometrically
-    admissible (angle/overlap/projection gates, computed by callers).
+    gate_penalty: optional (KA, KB) f32 — 0 where the pair is geometrically
+    admissible, >> max_dist where not (see the *_penalty helpers).
     """
     D = hamming_distance_mxu(bits_a, bits_b, params.n_bits)
-    D = jnp.where(valid_a[:, None] & valid_b[None, :], D, INF)
-    if gate_mask is not None:
-        D = jnp.where(gate_mask, D, INF)
-    return _gated_select(D, params)
+    D = D + (1.0 - _as_f32(valid_a))[:, None] * _PEN + (1.0 - _as_f32(valid_b))[None, :] * _PEN
+    if gate_penalty is not None:
+        D = D + gate_penalty
+    return _select_from_penalized(D, params)
 
 
-def angle_gate(angles_a: jnp.ndarray, angles_b: jnp.ndarray, tol: float) -> jnp.ndarray:
-    """(KA,), (KB,) segment angles -> (KA, KB) bool, |diff| mod pi < tol.
-
-    Lines are direction-ambiguous: compare modulo pi.
-    """
+def angle_penalty(angles_a: jnp.ndarray, angles_b: jnp.ndarray, tol: float) -> jnp.ndarray:
+    """(KA,), (KB,) segment angles -> (KA, KB) f32 penalty, 0 iff
+    |diff| mod pi < tol (lines are direction-ambiguous)."""
     d = jnp.abs(angles_a[:, None] - angles_b[None, :]) % jnp.pi
     d = jnp.minimum(d, jnp.pi - d)
-    return d < tol
+    return jnp.maximum(d - tol, 0.0) * _PEN
 
 
-def length_ratio_gate(len_a: jnp.ndarray, len_b: jnp.ndarray, min_ratio: float) -> jnp.ndarray:
-    """(KA,), (KB,) -> (KA, KB) bool: min/max length ratio above threshold."""
+def length_ratio_penalty(len_a: jnp.ndarray, len_b: jnp.ndarray, min_ratio: float) -> jnp.ndarray:
+    """(KA,), (KB,) -> (KA, KB) f32, 0 iff min/max length ratio > threshold."""
     la = len_a[:, None]
     lb = len_b[None, :]
     r = jnp.minimum(la, lb) / jnp.maximum(jnp.maximum(la, lb), 1e-6)
-    return r > min_ratio
+    return jnp.maximum(min_ratio - r, 0.0) * _PEN
 
 
-def midpoint_radius_gate(
+def midpoint_radius_penalty(
     mid_a: jnp.ndarray, mid_b: jnp.ndarray, radius: float
 ) -> jnp.ndarray:
-    """(KA, 2), (KB, 2) midpoints -> (KA, KB) bool within search radius."""
+    """(KA, 2), (KB, 2) midpoints -> (KA, KB) f32, 0 iff within radius."""
     d2 = jnp.sum((mid_a[:, None, :] - mid_b[None, :, :]) ** 2, axis=-1)
-    return d2 < radius * radius
+    return jnp.maximum(d2 - radius * radius, 0.0) * 1e3
 
 
-def stereo_row_gate(
+def stereo_row_penalty(
     mid_a: jnp.ndarray,
     mid_b: jnp.ndarray,
     max_dy: float,
@@ -153,6 +160,36 @@ def stereo_row_gate(
 
     a = left features, b = right features; disparity = x_left - x_right.
     """
+    dy = jnp.abs(mid_a[:, None, 1] - mid_b[None, :, 1])
+    disp = mid_a[:, None, 0] - mid_b[None, :, 0]
+    return (
+        jnp.maximum(dy - max_dy, 0.0)
+        + jnp.maximum(min_disp - disp, 0.0)
+        + jnp.maximum(disp - max_disp, 0.0)
+    ) * _PEN
+
+
+# Boolean-gate aliases kept as reference oracles for tests (host-side only —
+# do NOT feed these into jitted reductions; see module docstring).
+def angle_gate(angles_a, angles_b, tol):
+    d = jnp.abs(angles_a[:, None] - angles_b[None, :]) % jnp.pi
+    d = jnp.minimum(d, jnp.pi - d)
+    return d < tol
+
+
+def length_ratio_gate(len_a, len_b, min_ratio):
+    la = len_a[:, None]
+    lb = len_b[None, :]
+    r = jnp.minimum(la, lb) / jnp.maximum(jnp.maximum(la, lb), 1e-6)
+    return r > min_ratio
+
+
+def midpoint_radius_gate(mid_a, mid_b, radius):
+    d2 = jnp.sum((mid_a[:, None, :] - mid_b[None, :, :]) ** 2, axis=-1)
+    return d2 < radius * radius
+
+
+def stereo_row_gate(mid_a, mid_b, max_dy, min_disp, max_disp):
     dy = jnp.abs(mid_a[:, None, 1] - mid_b[None, :, 1])
     disp = mid_a[:, None, 0] - mid_b[None, :, 0]
     return (dy < max_dy) & (disp > min_disp) & (disp < max_disp)
@@ -166,8 +203,8 @@ def match_topk_database(
     n_bits: int = 256,
 ):
     """Top-k nearest database descriptors per query (relocalization / loop
-    shortlist). Returns (dist (Q, k), idx (Q, k)); masked rows get INF."""
+    shortlist). Returns (dist (Q, k), idx (Q, k)); masked rows get ~INF."""
     D = hamming_distance_mxu(query_bits, db_bits, n_bits)
-    D = jnp.where(db_valid[None, :], D, INF)
+    D = D + (1.0 - _as_f32(db_valid))[None, :] * _PEN
     neg_d, idx = jax.lax.top_k(-D, k)
     return -neg_d, idx
