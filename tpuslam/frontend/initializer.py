@@ -207,7 +207,7 @@ class MonoInitializer:
         T10, votes = recover_pose(E, jnp.asarray(uv0n, jnp.float32), jnp.asarray(uv1n, jnp.float32), inl)
         if int(votes) < int(score) * 0.6:
             return None
-        T10 = np.asarray(T10)
+        T10 = np.array(T10)  # writable host copy
 
         # triangulate matched lines from back-projected planes
         P0 = np.asarray(projection_matrix(self.cam, jnp.eye(4)))
