@@ -1,0 +1,149 @@
+"""Native map-store (C++/ctypes) vs the Python MapLineStore (oracle).
+
+Runs a randomized operation trace through both and checks the graph state
+(observations, covisibility, windows) stays identical.
+"""
+
+import numpy as np
+import pytest
+
+from tpuslam.slammap.map import KeyFrame, MapLineStore, SlamMap
+from tpuslam.slammap.native import load_native, NativeMapStore
+
+
+pytestmark = pytest.mark.skipif(load_native() is None, reason="no native toolchain")
+
+
+def test_basic_lifecycle():
+    s = NativeMapStore(line_capacity=64, kf_capacity=8, feat_capacity=16)
+    for k in range(3):
+        s.add_keyframe(k)
+    a = s.allocate(0)
+    b = s.allocate(0)
+    assert a != b and s.alive(a) and s.alive(b)
+    assert s.add_observation(a, 0, 2)
+    assert s.add_observation(a, 1, 3)
+    assert s.add_observation(b, 1, 4)
+    assert s.n_obs(a) == 2
+    assert list(s.line_ids(1)[:5]) == [-1, -1, -1, a, b]
+    # covisibility of kf0: shares landmark a with kf1
+    kids, counts = s.covisibility(0)
+    assert list(kids) == [1] and list(counts) == [1]
+    # window lines over (0, 1)
+    assert sorted(s.window_lines([0, 1])) == sorted([a, b])
+    # observation table
+    li, kk, ss = s.observations(np.asarray([a, b]))
+    assert len(li) == 3
+    # erase + kill
+    s.erase_observation(a, 1)
+    assert s.n_obs(a) == 1
+    s.kill(b)
+    assert not s.alive(b)
+    assert s.line_ids(1)[4] == -1
+
+
+def test_replace_fusion():
+    s = NativeMapStore(line_capacity=16, kf_capacity=4, feat_capacity=8)
+    for k in range(3):
+        s.add_keyframe(k)
+    old = s.allocate(0)
+    new = s.allocate(1)
+    s.add_observation(old, 0, 1)
+    s.add_observation(old, 1, 2)
+    s.add_observation(new, 1, 3)
+    s.add_observation(new, 2, 4)
+    s.replace(old, new)
+    assert not s.alive(old)
+    # kf0's slot now points at new; kf1 keeps its original binding of new
+    assert s.line_ids(0)[1] == new
+    assert s.line_ids(1)[3] == new
+    assert s.line_ids(1)[2] == -1
+    assert s.n_obs(new) == 3
+
+
+def test_randomized_parity_with_python_store(rng):
+    """Drive both stores with the same op trace; compare state."""
+    from tpuslam.frontend.frame import FrameFeatures
+
+    F = 12
+    nat = NativeMapStore(line_capacity=256, kf_capacity=16, feat_capacity=F)
+    smap = SlamMap(line_capacity=256)
+
+    def mk_kf(kid):
+        f = FrameFeatures(
+            endpoints=np.zeros((F, 2, 2), np.float32),
+            valid=np.ones(F, bool),
+            angle=np.zeros(F, np.float32),
+            length=np.zeros(F, np.float32),
+            midpoint=np.zeros((F, 2), np.float32),
+            response=np.zeros(F, np.float32),
+            level=np.zeros(F, np.int32),
+            sigma=np.ones(F, np.float32),
+            desc=np.zeros((F, 72), np.float32),
+            desc_bits=np.zeros((F, 8), np.uint32),
+            depth=np.zeros((F, 2), np.float32),
+            has_depth=np.zeros(F, bool),
+        )
+        return smap.new_keyframe(kid, 0.0, np.eye(4, dtype=np.float32), f)
+
+    kfs = {}
+    lids = []
+    for k in range(8):
+        kfs[k] = mk_kf(k)
+        nat.add_keyframe(k)
+    for _ in range(200):
+        op = rng.integers(0, 5)
+        if op == 0 or not lids:  # allocate + bind
+            k = int(rng.integers(0, 8))
+            slot = int(rng.integers(0, F))
+            if kfs[k].line_ids[slot] >= 0:
+                continue
+            lp = smap.lines.allocate(np.zeros(6, np.float32), np.zeros((2, 3), np.float32), np.zeros(8, np.uint32), k)
+            ln = nat.allocate(k)
+            assert lp == ln
+            smap.lines.add_observation(lp, kfs[k], slot)
+            nat.add_observation(ln, k, slot)
+            lids.append(lp)
+        elif op == 1:  # add obs
+            lid = int(rng.choice(lids))
+            k = int(rng.integers(0, 8))
+            slot = int(rng.integers(0, F))
+            if not smap.lines.alive[lid] or kfs[k].line_ids[slot] >= 0:
+                continue
+            if k in smap.lines.obs.get(lid, {}):
+                continue
+            smap.lines.add_observation(lid, kfs[k], slot)
+            nat.add_observation(lid, k, slot)
+        elif op == 2:  # erase obs
+            lid = int(rng.choice(lids))
+            k = int(rng.integers(0, 8))
+            smap.lines.erase_observation(lid, kfs[k])
+            nat.erase_observation(lid, k)
+        elif op == 3:  # kill
+            lid = int(rng.choice(lids))
+            if smap.lines.alive[lid]:
+                smap.lines.kill(lid, smap.keyframes)
+                nat.kill(lid)
+        else:  # replace
+            if len(lids) < 2:
+                continue
+            a, b = rng.choice(lids, 2, replace=False)
+            a, b = int(a), int(b)
+            if a == b or not (smap.lines.alive[a] and smap.lines.alive[b]):
+                continue
+            smap.lines.replace(a, b, smap.keyframes)
+            nat.replace(a, b)
+
+    # compare state
+    for lid in set(lids):
+        assert bool(smap.lines.alive[lid]) == nat.alive(lid), lid
+        if smap.lines.alive[lid]:
+            assert int(smap.lines.n_obs[lid]) == nat.n_obs(lid), lid
+    for k in range(8):
+        assert np.array_equal(kfs[k].line_ids, nat.line_ids(k)), k
+    # covisibility parity
+    for k in range(8):
+        smap.update_connections(kfs[k])
+        py = smap.covis[k]
+        kids, counts = nat.covisibility(k)
+        assert dict(zip(kids.tolist(), counts.tolist())) == py, k
