@@ -21,8 +21,21 @@ def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
+def _pallas_mode():
+    """'' = off, 'compile' = Mosaic kernels, 'interpret' = interpreter."""
+    import os
+
+    v = os.environ.get("TPUSLAM_PALLAS", "0")
+    return {"0": "", "1": "compile", "interpret": "interpret"}.get(v, "")
+
+
 def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur of an (H, W) image; reflect padding."""
+    mode = _pallas_mode()
+    if mode:
+        from tpuslam.kernels.pallas_image import blur_pallas
+
+        return blur_pallas(img, sigma, interpret=(mode == "interpret"))
     radius = max(1, int(math.ceil(3.0 * sigma)))
     k = _gaussian_kernel1d(sigma, radius)
     pad = [(radius, radius)]
@@ -67,6 +80,11 @@ def image_gradients(img: jnp.ndarray):
     (orthogonal to the gradient): angle = atan2(gx, -gy), as in LSD.
     Border pixels get zero magnitude (never seeds nor members).
     """
+    mode = _pallas_mode()
+    if mode:
+        from tpuslam.kernels.pallas_image import gradients_pallas
+
+        return gradients_pallas(img, interpret=(mode == "interpret"))
     gx = jnp.zeros_like(img)
     gy = jnp.zeros_like(img)
     gx = gx.at[:, 1:-1].set((img[:, 2:] - img[:, :-2]) * 0.5)
