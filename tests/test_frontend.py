@@ -118,8 +118,9 @@ class TestFrontend:
         n_matches = int(np.sum(np.asarray(m.valid)))
         assert n_matches > 10
         # matched midpoints should be near each other (small camera motion)
-        mid_a = np.asarray(fa.midpoint)[np.asarray(m.valid)]
-        mid_b = np.asarray(fb.midpoint)[np.asarray(m.idx)[np.asarray(m.valid)]]
+        mv = np.asarray(m.valid) > 0.5
+        mid_a = np.asarray(fa.midpoint)[mv]
+        mid_b = np.asarray(fb.midpoint)[np.asarray(m.idx)[mv]]
         med = np.median(np.linalg.norm(mid_a - mid_b, axis=-1))
         assert med < 25.0
 
@@ -143,7 +144,7 @@ class TestStereo:
         fr = extract_features(jnp.asarray(img_r, jnp.float32) / 255.0, FrontendParams(max_lines=128))
         fl = stereo_line_depths(fl, fr, jnp.float32(cam.fx * baseline))
 
-        ok = np.asarray(fl.has_depth)
+        ok = np.asarray(fl.has_depth) > 0.5
         assert ok.sum() > 8
         # compare against gt depth of nearest scene segment midpoint
         T = scene.poses[0]

@@ -87,7 +87,7 @@ class KeyFrameDatabase:
     def add(self, kf: KeyFrame):
         self.kids.append(kf.kid)
         self._bits.append(np.asarray(kf.features.desc_bits))
-        self._valid.append(np.asarray(kf.features.valid))
+        self._valid.append(np.asarray(kf.features.valid, np.float32))
 
     def remove(self, kid: int):
         if kid in self.kids:
@@ -102,7 +102,7 @@ class KeyFrameDatabase:
         scores = np.asarray(
             _db_scores(
                 jnp.asarray(np.asarray(bits)),
-                jnp.asarray(np.asarray(valid)),
+                jnp.asarray(np.asarray(valid, np.float32)),
                 db_bits,
                 db_valid,
             )
@@ -197,11 +197,13 @@ class LoopCloser:
         """T_corr: candidate-camera -> current-camera, from matched landmark
         endpoint midpoints (RANSAC + rigid Umeyama)."""
         st = self.map.lines
+        va = (np.asarray(kf.features.valid) > 0.5) & (kf.line_ids >= 0)
+        vb = (np.asarray(cand.features.valid) > 0.5) & (cand.line_ids >= 0)
         m = match_descriptors(
             jnp.asarray(np.asarray(kf.features.desc_bits)),
-            jnp.asarray(np.asarray(kf.features.valid) & (kf.line_ids >= 0)),
+            jnp.asarray(va.astype(np.float32)),
             jnp.asarray(np.asarray(cand.features.desc_bits)),
-            jnp.asarray(np.asarray(cand.features.valid) & (cand.line_ids >= 0)),
+            jnp.asarray(vb.astype(np.float32)),
             self.cfg.match,
         )
         mv = np.asarray(m.valid)

@@ -109,14 +109,14 @@ class LocalMapper:
     def _create_new_maplines(self, kf: KeyFrame):
         neighbors = self.map.covisible_keyframes(kf.kid, self.cfg.triangulate_neighbors)
         f = kf.features
-        free = (kf.line_ids < 0) & np.asarray(f.valid)
+        free = (kf.line_ids < 0) & (np.asarray(f.valid) > 0.5)
         if free.sum() == 0:
             return
         T0 = kf.T_cw
         P0 = np.asarray(projection_matrix(self.cam, jnp.asarray(T0)))
         for nkid in neighbors:
             nkf = self.map.keyframes[nkid]
-            nfree = (nkf.line_ids < 0) & np.asarray(nkf.features.valid)
+            nfree = (nkf.line_ids < 0) & (np.asarray(nkf.features.valid) > 0.5)
             if nfree.sum() == 0:
                 continue
             pen = angle_penalty(
@@ -126,9 +126,9 @@ class LocalMapper:
             )
             m = match_descriptors(
                 jnp.asarray(np.asarray(f.desc_bits)),
-                jnp.asarray(free),
+                jnp.asarray(free.astype(np.float32)),
                 jnp.asarray(np.asarray(nkf.features.desc_bits)),
-                jnp.asarray(nfree),
+                jnp.asarray(nfree.astype(np.float32)),
                 self.cfg.tri_match,
                 pen,
             )
@@ -160,7 +160,7 @@ class LocalMapper:
                 st.add_observation(lid, kf, s0)
                 st.add_observation(lid, nkf, s1)
                 self._recent[lid] = kf.kid
-            free = (kf.line_ids < 0) & np.asarray(f.valid)
+            free = (kf.line_ids < 0) & (np.asarray(f.valid) > 0.5)
 
     def _validate_triangulations(self, Lw, a0, a1, T0, T1):
         """Cheirality + depth + reprojection + parallax checks; endpoint 3D
@@ -237,7 +237,7 @@ class LocalMapper:
             jnp.asarray(kf.T_cw),
             jnp.asarray(st.endpoints[ids]),
             jnp.asarray(st.desc_bits[ids]),
-            jnp.ones(len(ids), bool),
+            jnp.ones(len(ids), jnp.float32),
             _features_as_jnp(kf.features),
             self.cam,
             self.cfg.fuse_search,

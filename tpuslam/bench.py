@@ -17,7 +17,13 @@ import numpy as np
 
 
 def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Dict:
+    import os
+    import sys
+
     import jax
+
+    frames = int(os.environ.get("TPUSLAM_BENCH_FRAMES", frames))
+    log = lambda m: print(m, file=sys.stderr, flush=True)
 
     from tpuslam.backend.mapping import MapperConfig
     from tpuslam.geometry.camera import Intrinsics
@@ -41,9 +47,9 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         ir = render_wireframe_image(scene_r, f, noise=1.0, rng=rng).astype(np.float32) / 255.0
         imgs.append((il, ir))
 
+    log(f"bench: {n_scene_frames} frames pre-rendered; tracking (first frames compile)...")
     sys_ = System(cam, sensor="stereo", loop_closing=False)
     times = []
-    ba_times = []
     for f in range(n_scene_frames):
         il, ir = imgs[f % n_scene_frames]
         t0 = time.perf_counter()
@@ -51,6 +57,8 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         dt = time.perf_counter() - t0
         if f >= warmup:
             times.append(dt)
+        if f < warmup or f % 25 == 0:
+            log(f"bench: frame {f} {dt*1e3:.1f} ms")
     track = sys_.timer.summary().get("track", {})
     lm = sys_.timer.summary().get("local_mapping", {})
     med = float(np.median(times))

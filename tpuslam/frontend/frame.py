@@ -40,10 +40,16 @@ class FrontendParams(NamedTuple):
 
 
 class FrameFeatures(NamedTuple):
-    """Fixed-capacity per-frame line features (level-0 pixel coords)."""
+    """Fixed-capacity per-frame line features (level-0 pixel coords).
+
+    Validity fields are float32 {0.0, 1.0}, NOT bool: boolean arrays at jit
+    boundaries trigger pathological Mosaic code paths on the axon backend
+    (see kernels/match.py docstring); f32 masks also compose directly with
+    the additive-penalty gating used throughout.
+    """
 
     endpoints: jnp.ndarray  # (K, 2, 2)
-    valid: jnp.ndarray  # (K,) bool
+    valid: jnp.ndarray  # (K,) f32 {0, 1}
     angle: jnp.ndarray  # (K,)
     length: jnp.ndarray  # (K,)
     midpoint: jnp.ndarray  # (K, 2)
@@ -54,7 +60,7 @@ class FrameFeatures(NamedTuple):
     desc_bits: jnp.ndarray  # (K, n_bits/32) uint32 binary LBD
     # stereo (filled by stereo_line_depths; zeros for mono)
     depth: jnp.ndarray  # (K, 2) metric depth at each endpoint, 0 = unknown
-    has_depth: jnp.ndarray  # (K,) bool
+    has_depth: jnp.ndarray  # (K,) f32 {0, 1}
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -98,7 +104,7 @@ def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()
 
     return FrameFeatures(
         endpoints=take(cat["endpoints"]),
-        valid=take(cat["valid"]),
+        valid=take(cat["valid"]).astype(jnp.float32),
         angle=take(cat["angle"]),
         length=take(cat["length"]),
         midpoint=take(cat["midpoint"]),
@@ -108,7 +114,7 @@ def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()
         desc=take(cat["desc"]),
         desc_bits=take(cat["bits"]),
         depth=jnp.zeros((K, 2), jnp.float32),
-        has_depth=jnp.zeros((K,), bool),
+        has_depth=jnp.zeros((K,), jnp.float32),
     )
 
 
@@ -129,11 +135,40 @@ def _x_at_row(endpoints: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return p0[0] + t * (p1[0] - p0[0])
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(6,))
+def _stereo_gate_penalty(mid_l, ang_l, len_l, mid_r, ang_r, len_r, params: StereoParams):
+    return (
+        stereo_row_penalty(mid_l, mid_r, params.max_dy, params.min_disp, params.max_disp)
+        + angle_penalty(ang_l, ang_r, params.angle_tol)
+        + length_ratio_penalty(len_l, len_r, params.min_len_ratio)
+    )
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _stereo_depth_post(
+    ep_l, ang_l, ep_r, idx, mvalidf, fx_baseline, params: StereoParams, near_horizontal_deg: float
+):
+    r_ep = ep_r[jnp.maximum(idx, 0)]  # (K, 2, 2)
+    xr0 = jax.vmap(_x_at_row)(r_ep, ep_l[:, 0, 1])
+    xr1 = jax.vmap(_x_at_row)(r_ep, ep_l[:, 1, 1])
+    disp = jnp.stack([ep_l[:, 0, 0] - xr0, ep_l[:, 1, 0] - xr1], axis=-1)
+    disp_okf = jnp.prod(
+        ((disp > params.min_disp) & (disp < params.max_disp)).astype(jnp.float32),
+        axis=-1,
+    )
+    # reject near-horizontal lines: row-crossing is ill-posed
+    ang = jnp.abs(ang_l) % jnp.pi
+    ang = jnp.minimum(ang, jnp.pi - ang)
+    steepf = (ang > jnp.deg2rad(near_horizontal_deg)).astype(jnp.float32)
+    okf = mvalidf * disp_okf * steepf
+    depth = okf[:, None] * fx_baseline / jnp.maximum(disp, 1e-6)
+    return depth, okf
+
+
 def stereo_line_depths(
     left: FrameFeatures,
     right: FrameFeatures,
-    fx_baseline: jnp.ndarray,
+    fx_baseline,
     params: StereoParams = StereoParams(),
     near_horizontal_deg: float = 10.0,
 ) -> FrameFeatures:
@@ -143,31 +178,29 @@ def stereo_line_depths(
     crosses row y; disparity = x_L - x_R(y), depth = fx * b / disp
     (SURVEY §4.2 '[DEV: Hamming top-k on MXU]'). Near-horizontal lines are
     rejected (disparity ill-conditioned along the epipolar direction).
+
+    Host-orchestrated as THREE small jitted programs (gate penalty, MXU
+    match, depth recovery) rather than one fused program: each compiles
+    locally in ~1 s and dispatches in ~0.05 ms on the axon Mosaic backend,
+    where the fused version falls off a compiler cliff (see
+    kernels/match.py docstring). Every program takes exactly the arrays it
+    uses — unused pytree leaves at a jit boundary also trigger the slow
+    path.
     """
-    pen = (
-        stereo_row_penalty(
-            left.midpoint, right.midpoint, params.max_dy, params.min_disp, params.max_disp
-        )
-        + angle_penalty(left.angle, right.angle, params.angle_tol)
-        + length_ratio_penalty(left.length, right.length, params.min_len_ratio)
+    pen = _stereo_gate_penalty(
+        left.midpoint, left.angle, left.length, right.midpoint, right.angle, right.length, params
     )
     m = match_descriptors(
         left.desc_bits, left.valid, right.desc_bits, right.valid, params.match, pen
     )
-
-    r_ep = right.endpoints[jnp.maximum(m.idx, 0)]  # (K, 2, 2)
-    xr0 = jax.vmap(_x_at_row)(r_ep, left.endpoints[:, 0, 1])
-    xr1 = jax.vmap(_x_at_row)(r_ep, left.endpoints[:, 1, 1])
-    disp = jnp.stack(
-        [left.endpoints[:, 0, 0] - xr0, left.endpoints[:, 1, 0] - xr1], axis=-1
+    depth, okf = _stereo_depth_post(
+        left.endpoints,
+        left.angle,
+        right.endpoints,
+        m.idx,
+        m.valid,
+        jnp.asarray(fx_baseline, jnp.float32),
+        params,
+        near_horizontal_deg,
     )
-    disp_ok = jnp.all((disp > params.min_disp) & (disp < params.max_disp), axis=-1)
-
-    # reject near-horizontal lines: row-crossing is ill-posed
-    ang = jnp.abs(left.angle) % jnp.pi
-    ang = jnp.minimum(ang, jnp.pi - ang)  # angle to the x-axis
-    steep_enough = ang > jnp.deg2rad(near_horizontal_deg)
-
-    ok = m.valid & disp_ok & steep_enough
-    depth = jnp.where(ok[:, None], fx_baseline / jnp.maximum(disp, 1e-6), 0.0)
-    return left._replace(depth=depth, has_depth=ok)
+    return left._replace(depth=depth, has_depth=okf)

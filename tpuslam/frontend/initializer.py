@@ -84,8 +84,9 @@ def ransac_essential(
     """
     N = uv0n.shape[0]
     key = jax.random.PRNGKey(0) if seed is None else seed
+    validf = valid.astype(jnp.float32)
     # sample from valid indices via categorical over validity logits
-    logits = jnp.where(valid, 0.0, -1e9)
+    logits = (validf - 1.0) * 1e9
     samples = jax.random.categorical(
         key, logits, shape=(params.n_hypotheses, 8)
     )  # (H, 8)
@@ -96,17 +97,18 @@ def ransac_essential(
     Es = jax.vmap(solve)(samples)  # (H, 3, 3)
     thr = (params.inlier_px / 1.0) ** 2  # scaled by focal below by caller
     d2 = jax.vmap(lambda E: _sampson_sq(E, uv0n, uv1n))(Es)  # (H, N)
-    inl = (d2 < thr) & valid[None, :]
-    scores = jnp.sum(inl, axis=1)
+    inlf = (d2 < thr).astype(jnp.float32) * validf[None, :]
+    scores = jnp.sum(inlf, axis=1)
     best = jnp.argmax(scores)
-    return Es[best], inl[best], scores[best]
+    return Es[best], inlf[best], scores[best]
 
 
 @jax.jit
 def recover_pose(E: jnp.ndarray, uv0n: jnp.ndarray, uv1n: jnp.ndarray, inliers: jnp.ndarray):
     """Decompose E into the 4 (R, t) candidates; pick by cheirality voting.
 
-    Returns T_10 (4, 4) with unit-norm translation (mono scale is free).
+    `inliers` is an f32 {0,1} mask. Returns T_10 (4, 4) with unit-norm
+    translation (mono scale is free).
     """
     U, _, Vt = jnp.linalg.svd(E)
     # enforce proper rotations
@@ -126,7 +128,9 @@ def recover_pose(E: jnp.ndarray, uv0n: jnp.ndarray, uv1n: jnp.ndarray, inliers: 
         z0 = X[:, 2]
         X1 = (R @ X.T).T + tt
         z1 = X1[:, 2]
-        return jnp.sum((z0 > 0) & (z1 > 0) & inliers)
+        return jnp.sum(
+            (z0 > 0).astype(jnp.float32) * (z1 > 0).astype(jnp.float32) * inliers
+        )
 
     cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
     votes = jnp.stack([count_front(R, tt) for R, tt in cands])
@@ -198,7 +202,7 @@ class MonoInitializer:
         E, inl, score = ransac_essential(
             jnp.asarray(uv0n, jnp.float32),
             jnp.asarray(uv1n, jnp.float32),
-            jnp.ones(len(uv0n), bool),
+            jnp.ones(len(uv0n), jnp.float32),
             params_n,
             jax.random.PRNGKey(frame_idx),
         )
@@ -222,7 +226,7 @@ class MonoInitializer:
         # endpoint 3D positions: intersect line with endpoint viewing rays
         ep3d = np.zeros((len(slots0), 2, 3), np.float32)
         ok = np.zeros(len(slots0), bool)
-        inl2 = np.asarray(inl).reshape(-1, 2)
+        inl2 = np.asarray(inl).reshape(-1, 2) > 0.5
         for i in range(len(slots0)):
             nvec, v = L[i, :3], L[i, 3:]
             vn = np.linalg.norm(v)

@@ -65,6 +65,20 @@ def project_map_lines(
     return uv, mid, ang, in_front & in_img
 
 
+@partial(jax.jit, static_argnums=(5, 6))
+def _project_penalty(
+    T_cw, map_ep3d, map_validf, feat_mid, feat_ang, cam: Intrinsics, params: "ProjectionSearchParams"
+):
+    """Landmark projection + gate-penalty matrix (own jit; see module doc)."""
+    _, mid, ang, visible = project_map_lines(
+        T_cw, map_ep3d, cam, params.min_z, params.margin
+    )
+    pen = midpoint_radius_penalty(mid, feat_mid, params.radius) + angle_penalty(
+        ang, feat_ang, params.angle_tol
+    )
+    return pen, map_validf * visible.astype(jnp.float32)
+
+
 def search_by_projection(
     T_cw: jnp.ndarray,
     map_ep3d: jnp.ndarray,
@@ -77,16 +91,22 @@ def search_by_projection(
     """Match map lines -> frame features near their predicted projection.
 
     Returns MatchResult over the landmark axis: idx[i] = frame feature slot.
+    Host-orchestrated: projection+penalty and the MXU match are separate
+    small jitted programs (axon Mosaic compile-cliff avoidance — see
+    kernels/match.py docstring).
     """
-    _, mid, ang, visible = project_map_lines(
-        T_cw, map_ep3d, cam, params.min_z, params.margin
-    )
-    pen = midpoint_radius_penalty(mid, feats.midpoint, params.radius) + angle_penalty(
-        ang, feats.angle, params.angle_tol
+    pen, validf = _project_penalty(
+        T_cw,
+        map_ep3d,
+        map_valid.astype(jnp.float32) if map_valid.dtype != jnp.float32 else map_valid,
+        feats.midpoint,
+        feats.angle,
+        cam,
+        params,
     )
     return match_descriptors(
         map_bits,
-        map_valid & visible,
+        validf,
         feats.desc_bits,
         feats.valid,
         params.match,
@@ -102,64 +122,82 @@ class TrackStepResult(NamedTuple):
     num_inliers: jnp.ndarray  # int32
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
-def tracked_pose_step(
-    T_pred: jnp.ndarray,
-    map_plucker: jnp.ndarray,  # (N, 6) world lines
-    map_ep3d: jnp.ndarray,  # (N, 2, 3)
-    map_bits: jnp.ndarray,  # (N, W)
-    map_valid: jnp.ndarray,  # (N,) bool
-    feats: FrameFeatures,
-    cam: Intrinsics,
-    search: ProjectionSearchParams = ProjectionSearchParams(),
-    opt: PoseOptConfig = PoseOptConfig(),
-) -> TrackStepResult:
-    """One fused tracking stage: project+match+pose-LM+re-gate (one dispatch).
-
-    SURVEY §4.2 TrackWithMotionModel / TrackLocalMap body.
-    """
-    m = search_by_projection(T_pred, map_ep3d, map_bits, map_valid, feats, cam, search)
-    slot = jnp.maximum(m.idx, 0)
-    l_endpoints = feats.endpoints[slot]
-    l_sigma = feats.sigma[slot]
-    l_valid = m.valid.astype(T_pred.dtype)
+@partial(jax.jit, static_argnums=(6, 7))
+def _pose_opt_from_matches(
+    T_pred, map_plucker, feat_ep, feat_sigma, match_idx, match_validf, cam: Intrinsics, opt: PoseOptConfig
+):
+    slot = jnp.maximum(match_idx, 0)
     res = pose_optimize(
         T_pred,
         map_plucker,
-        l_endpoints,
-        l_valid,
+        feat_ep[slot],
+        match_validf,
         points=jnp.zeros((1, 3), T_pred.dtype),
         p_uv=jnp.zeros((1, 2), T_pred.dtype),
         p_valid=jnp.zeros((1,), T_pred.dtype),
         cam=cam,
         cfg=opt,
-        l_sigma=l_sigma,
+        l_sigma=feat_sigma[slot],
+    )
+    return res, jnp.sum(match_validf).astype(jnp.int32)
+
+
+def tracked_pose_step(
+    T_pred: jnp.ndarray,
+    map_plucker: jnp.ndarray,  # (N, 6) world lines
+    map_ep3d: jnp.ndarray,  # (N, 2, 3)
+    map_bits: jnp.ndarray,  # (N, W)
+    map_valid: jnp.ndarray,  # (N,) f32 {0, 1}
+    feats: FrameFeatures,
+    cam: Intrinsics,
+    search: ProjectionSearchParams = ProjectionSearchParams(),
+    opt: PoseOptConfig = PoseOptConfig(),
+) -> TrackStepResult:
+    """One tracking stage: project+match+pose-LM+re-gate.
+
+    SURVEY §4.2 TrackWithMotionModel / TrackLocalMap body. Three device
+    dispatches (projection+penalty, MXU match, pose LM), each a small
+    locally-compiling program (axon Mosaic compile-cliff avoidance).
+    """
+    m = search_by_projection(T_pred, map_ep3d, map_bits, map_valid, feats, cam, search)
+    res, n_matched = _pose_opt_from_matches(
+        T_pred, map_plucker, feats.endpoints, feats.sigma, m.idx, m.valid, cam, opt
     )
     return TrackStepResult(
         pose=res.pose,
         match_idx=m.idx,
         inlier=res.inlier_lines,
-        num_matched=jnp.sum(m.valid).astype(jnp.int32),
+        num_matched=n_matched,
         num_inliers=res.num_inliers,
     )
 
 
-@jax.jit
-def triangulate_stereo_lines(T_wc: jnp.ndarray, feats: FrameFeatures, cam: Intrinsics):
-    """Stereo-depth endpoints -> world Pluecker lines + 3D endpoints.
-
-    Returns (plucker (K, 6), ep3d (K, 2, 3), ok (K,)). SURVEY §4.3
-    CreateNewMapLines, stereo branch: direct backprojection, no two-view
-    search needed.
-    """
-    x = (feats.endpoints[..., 0] - cam.cx) / cam.fx  # (K, 2)
-    y = (feats.endpoints[..., 1] - cam.cy) / cam.fy
-    z = feats.depth  # (K, 2)
+@partial(jax.jit, static_argnums=(4,))
+def _triangulate_stereo(T_wc, endpoints, depth, validf, cam: Intrinsics):
+    x = (endpoints[..., 0] - cam.cx) / cam.fx  # (K, 2)
+    y = (endpoints[..., 1] - cam.cy) / cam.fy
+    z = depth  # (K, 2)
     p_c = jnp.stack([x * z, y * z, z], axis=-1)  # (K, 2, 3)
     p_w = se3_apply(T_wc, p_c)
     v = p_w[:, 1] - p_w[:, 0]
     n = jnp.cross(p_w[:, 0], p_w[:, 1])
     plucker = jnp.concatenate([n, v], axis=-1)
     seg_len = jnp.linalg.norm(v, axis=-1)
-    ok = feats.has_depth & feats.valid & (seg_len > 0.05) & (seg_len < 20.0)
-    return plucker, p_w, ok
+    okf = (
+        validf
+        * (seg_len > 0.05).astype(jnp.float32)
+        * (seg_len < 20.0).astype(jnp.float32)
+    )
+    return plucker, p_w, okf
+
+
+def triangulate_stereo_lines(T_wc: jnp.ndarray, feats: FrameFeatures, cam: Intrinsics):
+    """Stereo-depth endpoints -> world Pluecker lines + 3D endpoints.
+
+    Returns (plucker (K, 6), ep3d (K, 2, 3), okf (K,) f32). SURVEY §4.3
+    CreateNewMapLines, stereo branch: direct backprojection, no two-view
+    search needed. Thin host wrapper passing only the used feature arrays.
+    """
+    return _triangulate_stereo(
+        jnp.asarray(T_wc), feats.endpoints, feats.depth, feats.has_depth * feats.valid, cam
+    )

@@ -207,7 +207,7 @@ class Tracker:
         plucker, ep3d, ok = triangulate_stereo_lines(
             jnp.asarray(np.linalg.inv(self.T_cw)), feats, self.cam
         )
-        ok = np.asarray(ok)
+        ok = np.asarray(ok) > 0.5
         if ok.sum() < self.cfg.min_init_lines:
             return False
         kf = self.map.new_keyframe(self.frame_idx, timestamp, self.T_cw, feats)
@@ -289,7 +289,7 @@ class Tracker:
             plucker, ep3d, ok = triangulate_stereo_lines(
                 jnp.asarray(np.linalg.inv(self.T_cw)), feats, self.cam
             )
-            ok = np.asarray(ok) & (kf.line_ids < 0)
+            ok = (np.asarray(ok) > 0.5) & (kf.line_ids < 0)
             self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)
         self.map.update_connections(kf)
         self.ref_kf = kf.kid
@@ -330,8 +330,8 @@ class Tracker:
             NL = self.cfg.local_capacity
             ids = np.zeros(NL, np.int32)
             ids[: len(lids)] = lids
-            valid = np.zeros(NL, bool)
-            valid[: len(lids)] = True
+            valid = np.zeros(NL, np.float32)
+            valid[: len(lids)] = 1.0
             res: TrackStepResult = tracked_pose_step(
                 jnp.asarray(kf.T_cw),
                 jnp.asarray(st.plucker[ids]),
@@ -367,10 +367,10 @@ class Tracker:
         n = len(lids)
         ids = np.zeros(NL, np.int32)
         ids[:n] = lids
-        valid = np.zeros(NL, bool)
-        valid[:n] = True
+        valid = np.zeros(NL, np.float32)
+        valid[:n] = 1.0
         self._local_ids = ids
-        self._local_valid = valid
+        self._local_valid = valid > 0.5
         st = self.map.lines
         self._local_dev = dict(
             plucker=jnp.asarray(st.plucker[ids]),

@@ -235,7 +235,7 @@ def synthetic_frame_features(
 
     K = capacity
     ep = np.zeros((K, 2, 2), np.float32)
-    valid = np.zeros(K, bool)
+    valid = np.zeros(K, np.float32)  # f32 mask (see FrameFeatures docstring)
     angle = np.zeros(K, np.float32)
     length = np.zeros(K, np.float32)
     mid = np.zeros((K, 2), np.float32)
@@ -244,10 +244,10 @@ def synthetic_frame_features(
     desc = np.zeros((K, 72), np.float32)
     bits = np.zeros((K, 8), np.uint32)
     depth = np.zeros((K, 2), np.float32)
-    has_depth = np.zeros(K, bool)
+    has_depth = np.zeros(K, np.float32)
 
     ep[:n] = obs.seg_uv[vis]
-    valid[:n] = True
+    valid[:n] = 1.0
     d = ep[:n, 1] - ep[:n, 0]
     angle[:n] = np.arctan2(d[:, 1], d[:, 0])
     length[:n] = np.linalg.norm(d, axis=-1)
@@ -260,7 +260,7 @@ def synthetic_frame_features(
         T = scene.poses[frame]
         seg_c = scene.segments @ T[:3, :3].T + T[:3, 3]
         depth[:n] = seg_c[vis][:, :, 2]
-        has_depth[:n] = np.all(depth[:n] > 0.1, axis=-1)
+        has_depth[:n] = np.all(depth[:n] > 0.1, axis=-1).astype(np.float32)
 
     return (
         FrameFeatures(

@@ -23,6 +23,7 @@ TPU formulation is dense and batched:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -72,7 +73,7 @@ def hamming_distance_mxu(a: jnp.ndarray, b: jnp.ndarray, n_bits: int) -> jnp.nda
 class MatchResult(NamedTuple):
     idx: jnp.ndarray  # (KA,) int32 best match in B, -1 if none
     dist: jnp.ndarray  # (KA,) float32 best distance (INF if none)
-    valid: jnp.ndarray  # (KA,) bool
+    valid: jnp.ndarray  # (KA,) f32 {0, 1} (f32 so it can feed further jits)
 
 
 class MatchParams(NamedTuple):
@@ -101,8 +102,26 @@ def _select_from_penalized(Dg: jnp.ndarray, params: MatchParams) -> MatchResult:
     return MatchResult(
         idx=best_j * oki - (1 - oki),
         dist=best + (1.0 - okf) * INF,
-        valid=okf > 0.5,
+        valid=okf,
     )
+
+
+def _match_body(bits_a, valid_a, bits_b, valid_b, gate_penalty, params) -> MatchResult:
+    D = hamming_distance_mxu(bits_a, bits_b, params.n_bits)
+    D = D + (1.0 - _as_f32(valid_a))[:, None] * _PEN + (1.0 - _as_f32(valid_b))[None, :] * _PEN
+    if gate_penalty is not None:
+        D = D + gate_penalty
+    return _select_from_penalized(D, params)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _match_jit(bits_a, valid_a, bits_b, valid_b, gate_penalty, params) -> MatchResult:
+    return _match_body(bits_a, valid_a, bits_b, valid_b, gate_penalty, params)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _match_jit_nogate(bits_a, valid_a, bits_b, valid_b, params) -> MatchResult:
+    return _match_body(bits_a, valid_a, bits_b, valid_b, None, params)
 
 
 def match_descriptors(
@@ -117,12 +136,17 @@ def match_descriptors(
 
     gate_penalty: optional (KA, KB) f32 — 0 where the pair is geometrically
     admissible, >> max_dist where not (see the *_penalty helpers).
+
+    This is its OWN jit boundary by design: on the axon Mosaic backend,
+    fusing the gate-penalty construction (vector -> matrix broadcasts) into
+    the same program as the matmul+top_k selection triggers a pathological
+    compile; as separate small programs both sides compile locally in <1 s
+    and dispatch in ~0.05 ms. Callers should hand in penalty matrices built
+    by separately-jitted gate builders (see frontend/frame.py).
     """
-    D = hamming_distance_mxu(bits_a, bits_b, params.n_bits)
-    D = D + (1.0 - _as_f32(valid_a))[:, None] * _PEN + (1.0 - _as_f32(valid_b))[None, :] * _PEN
     if gate_penalty is not None:
-        D = D + gate_penalty
-    return _select_from_penalized(D, params)
+        return _match_jit(bits_a, _as_f32(valid_a), bits_b, _as_f32(valid_b), gate_penalty, params)
+    return _match_jit_nogate(bits_a, _as_f32(valid_a), bits_b, _as_f32(valid_b), params)
 
 
 def angle_penalty(angles_a: jnp.ndarray, angles_b: jnp.ndarray, tol: float) -> jnp.ndarray:
