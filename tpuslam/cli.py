@@ -44,6 +44,12 @@ def cmd_run(args):
         log_path=args.log,
     )
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
     t0 = time.perf_counter()
     for i, (ts, left, right) in enumerate(seq.frames()):
         if i >= n:
@@ -60,6 +66,19 @@ def cmd_run(args):
                 file=sys.stderr,
             )
     wall = time.perf_counter() - t0
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+    if args.plots:
+        import os
+
+        from tpuslam.viz import plot_map, plot_trajectory
+
+        os.makedirs(args.plots, exist_ok=True)
+        est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in sys_.trajectory])
+        plot_trajectory(
+            est, seq.gt_positions, os.path.join(args.plots, "trajectory.png"), seq.name
+        )
+        plot_map(sys_.map, os.path.join(args.plots, "map.png"))
     if args.out:
         if args.dataset == "kitti":
             sys_.save_trajectory_kitti(args.out)
@@ -141,6 +160,8 @@ def main(argv=None):
     r.add_argument("--mono", action="store_true")
     r.add_argument("--no-loop", action="store_true")
     r.add_argument("--verbose", action="store_true")
+    r.add_argument("--plots", default="", help="write trajectory/map PNGs here")
+    r.add_argument("--profile", default="", help="jax.profiler trace directory")
     r.set_defaults(fn=cmd_run)
 
     m = sub.add_parser("make-synthetic", help="write a synthetic dataset")
