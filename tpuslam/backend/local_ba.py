@@ -44,6 +44,7 @@ def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
 
 
 _run_lm_jit = jax.jit(run_lm, static_argnums=(2,))
+_chi2_jit = jax.jit(chi2_outlier_mask, static_argnums=(3, 4))
 
 
 class LocalBAStats(NamedTuple):
@@ -188,7 +189,7 @@ def local_bundle_adjustment(
     # ---- outlier pruning -------------------------------------------------
     n_pruned = 0
     if cfg.prune_outliers:
-        inl_l, _ = chi2_outlier_mask(state, prob, cam, cfg.chi2_line, 5.991)
+        inl_l, _ = _chi2_jit(state, prob, cam, cfg.chi2_line, 5.991)
         inl_l = np.asarray(inl_l)
         for r in range(obs_table.shape[0]):
             if inl_l[r] < 0.5:

@@ -47,8 +47,22 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         ir = render_wireframe_image(scene_r, f, noise=1.0, rng=rng).astype(np.float32) / 255.0
         imgs.append((il, ir))
 
-    log(f"bench: {n_scene_frames} frames pre-rendered; tracking (first frames compile)...")
+    log(f"bench: {n_scene_frames} frames pre-rendered; warming up programs...")
     sys_ = System(cam, sensor="stereo", loop_closing=False)
+    if os.environ.get("TPUSLAM_BENCH_WARMUP", "1") == "1":
+        from tpuslam.warmup import warmup_tracking
+
+        tc = sys_.tracker.cfg
+        warmup_tracking(
+            cam,
+            frontend_params=tc.frontend,
+            stereo_params=tc.stereo,
+            search_params=(tc.search_coarse, tc.search_fine),
+            pose_opt_cfg=tc.pose_opt,
+            local_capacity=tc.local_capacity,
+            log=log,
+        )
+    log("bench: warmup done; tracking...")
     times = []
     for f in range(n_scene_frames):
         il, ir = imgs[f % n_scene_frames]

@@ -105,11 +105,11 @@ class Tracker:
     # ---- public API ----------------------------------------------------
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> FrameResult:
         self.frame_idx += 1
+        if not hasattr(self, "_fxb"):
+            self._fxb = jnp.float32(self.cam.fx * self.cam.baseline)
         fl = extract_features(jnp.asarray(img_left, jnp.float32), self.cfg.frontend)
         fr = extract_features(jnp.asarray(img_right, jnp.float32), self.cfg.frontend)
-        feats = stereo_line_depths(
-            fl, fr, jnp.float32(self.cam.fx * self.cam.baseline), self.cfg.stereo
-        )
+        feats = stereo_line_depths(fl, fr, self._fxb, self.cfg.stereo)
         return self._track(feats, timestamp, stereo=True)
 
     def track_monocular(self, img: np.ndarray, timestamp: float) -> FrameResult:

@@ -1,0 +1,134 @@
+"""Risk-ordered program warmup (PERF_NOTES.md: the dispatch-degradation
+cliff).
+
+On the axon backend, a single slow remote compile permanently degrades every
+dispatch compiled AFTER it in the process, while programs compiled BEFORE
+stay fast. This module compiles the production tracking programs in
+ascending compile-cost order with dummy fixed-shape inputs, so that if any
+compile does trip the cliff, it is the last/least-critical program that
+pays, not the per-frame hot path.
+
+Called by bench.py before timing; applications can call `warmup_tracking`
+once after constructing their System.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def warmup_tracking(
+    cam,
+    frontend_params=None,
+    stereo_params=None,
+    search_params=(None, None),
+    pose_opt_cfg=None,
+    local_capacity: int = 1024,
+    with_mapping: bool = True,
+    ba_caps=((8, 128, 512), (16, 256, 1024)),
+    log: Optional[Callable[[str], None]] = None,
+):
+    """Compile the per-frame stereo tracking programs in safe order."""
+    from tpuslam.backend.pose_opt import PoseOptConfig
+    from tpuslam.frontend.frame import (
+        FrameFeatures,
+        FrontendParams,
+        StereoParams,
+        _stereo_depth_post,
+        _stereo_gate_penalty,
+        extract_features,
+        stereo_line_depths,
+    )
+    from tpuslam.frontend.matcher import (
+        ProjectionSearchParams,
+        _pose_opt_from_matches,
+        _project_penalty,
+        _triangulate_stereo,
+        tracked_pose_step,
+    )
+    from tpuslam.kernels.match import MatchParams, _match_jit
+
+    fe = frontend_params or FrontendParams()
+    sp = stereo_params or StereoParams()
+    sc = search_params[0] or ProjectionSearchParams(radius=50.0)
+    sf = search_params[1] or ProjectionSearchParams(radius=20.0)
+    oc = pose_opt_cfg or PoseOptConfig()
+    log = log or (lambda m: None)
+
+    rng = np.random.default_rng(0)
+    K = fe.max_lines
+    NL = local_capacity
+
+    def feat():
+        return FrameFeatures(
+            endpoints=jnp.asarray(rng.uniform(0, cam.height, (K, 2, 2)), jnp.float32),
+            valid=jnp.ones(K, jnp.float32),
+            angle=jnp.asarray(rng.uniform(-3, 3, K), jnp.float32),
+            length=jnp.full((K,), 30.0, jnp.float32),
+            midpoint=jnp.asarray(rng.uniform(0, cam.height, (K, 2)), jnp.float32),
+            response=jnp.ones(K, jnp.float32),
+            level=jnp.zeros(K, jnp.int32),
+            sigma=jnp.ones(K, jnp.float32),
+            desc=jnp.zeros((K, 72), jnp.float32),
+            desc_bits=jnp.asarray(rng.integers(0, 2**31, (K, 8)), jnp.uint32),
+            depth=jnp.abs(jnp.asarray(rng.uniform(1, 5, (K, 2)), jnp.float32)),
+            has_depth=jnp.ones(K, jnp.float32),
+        )
+
+    fl, fr = feat(), feat()
+    T = jnp.eye(4)
+    lines = jnp.asarray(rng.standard_normal((NL, 6)), jnp.float32)
+    ep3d = jnp.asarray(rng.standard_normal((NL, 2, 3)) + [0, 0, 6.0], jnp.float32)
+    bits = jnp.asarray(rng.integers(0, 2**31, (NL, 8)), jnp.uint32)
+    validf = jnp.ones(NL, jnp.float32)
+    pen_kk = jnp.zeros((K, K), jnp.float32)
+    pen_nk = jnp.zeros((NL, K), jnp.float32)
+    idxK = jnp.zeros(K, jnp.int32)
+    idxN = jnp.zeros(NL, jnp.int32)
+
+    steps = [
+        # (name, thunk) — ascending historical compile cost
+        ("stereo_pen", lambda: _stereo_gate_penalty(
+            fl.midpoint, fl.angle, fl.length, fr.midpoint, fr.angle, fr.length, sp)),
+        ("stereo_post", lambda: _stereo_depth_post(
+            fl.endpoints, fl.angle, fr.endpoints, idxK, jnp.ones(K, jnp.float32),
+            jnp.float32(50.0), sp, 10.0)),
+        ("triangulate", lambda: _triangulate_stereo(T, fl.endpoints, fl.depth, fl.valid, cam)),
+        ("project_pen_coarse", lambda: _project_penalty(
+            T, ep3d, validf, fl.midpoint, fl.angle, cam, sc)),
+        ("project_pen_fine", lambda: _project_penalty(
+            T, ep3d, validf, fl.midpoint, fl.angle, cam, sf)),
+        ("match_stereo", lambda: _match_jit(
+            fl.desc_bits, fl.valid, fr.desc_bits, fr.valid, pen_kk, sp.match)),
+        ("match_track_c", lambda: _match_jit(
+            bits, validf, fl.desc_bits, fl.valid, pen_nk, sc.match)),
+        ("match_track_f", lambda: _match_jit(
+            bits, validf, fl.desc_bits, fl.valid, pen_nk, sf.match)),
+        ("pose_opt", lambda: _pose_opt_from_matches(
+            T, lines, fl.endpoints, fl.sigma, idxN, validf, cam, oc)),
+        ("extract", lambda: extract_features(
+            jnp.asarray(rng.random((cam.height, cam.width)), jnp.float32), fe)),
+    ]
+    if with_mapping:
+        from tpuslam.backend.lm import LMConfig
+        from tpuslam.backend.local_ba import _run_lm_jit
+        from tpuslam.parallel.sharded_ba import _toy_problem
+
+        for caps in ba_caps:
+            P_, L_, OL_ = caps
+
+            def _ba(P_=P_, L_=L_, OL_=OL_):
+                prob = _toy_problem(rng, P_=P_, L=L_, OL=OL_, cam=cam)
+                return _run_lm_jit(prob, cam, LMConfig(max_iters=8))
+
+            steps.append((f"local_ba_{caps}", _ba))
+
+    for name, thunk in steps:
+        t0 = time.time()
+        jax.block_until_ready(thunk())
+        log(f"warmup {name}: {time.time() - t0:.1f}s")
