@@ -48,7 +48,8 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         imgs.append((il, ir))
 
     log(f"bench: {n_scene_frames} frames pre-rendered; warming up programs...")
-    sys_ = System(cam, sensor="stereo", loop_closing=False)
+    mapping = os.environ.get("TPUSLAM_BENCH_NOMAP", "0") != "1"
+    sys_ = System(cam, sensor="stereo", loop_closing=False, mapping=mapping)
     if os.environ.get("TPUSLAM_BENCH_WARMUP", "1") == "1":
         from tpuslam.warmup import warmup_tracking
 
@@ -60,6 +61,7 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             search_params=(tc.search_coarse, tc.search_fine),
             pose_opt_cfg=tc.pose_opt,
             local_capacity=tc.local_capacity,
+            with_mapping=mapping,
             log=log,
         )
     log("bench: warmup done; tracking...")
