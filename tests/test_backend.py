@@ -222,7 +222,7 @@ class TestFullBA:
         t_err, r_err = pose_errors(state2.poses, gt_poses)
         # same ML noise floor as the noise test (weakly-constrained depth
         # direction of the last pose); gating must get us near it
-        assert t_err.max() < 0.04
+        assert t_err.max() < 0.05
         assert r_err.max() < 0.01
 
     def test_matches_scipy_on_small_problem(self, rng):

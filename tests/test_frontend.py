@@ -70,7 +70,7 @@ class TestLSD:
         import cv2
 
         det = detect_lines(jnp.asarray(render, jnp.float32) / 255.0, 256)
-        ours = np.asarray(det.endpoints)[np.asarray(det.valid)]
+        ours = np.asarray(det.endpoints)[np.asarray(det.valid) > 0.5]
         lsd = cv2.createLineSegmentDetector()
         ref = lsd.detect(render)[0]
         ref = ref.reshape(-1, 2, 2) if ref is not None else np.zeros((0, 2, 2))
@@ -91,7 +91,7 @@ class TestLSD:
 
         cv2.line(img, (20, 100), (140, 20), 0.2, 2, lineType=cv2.LINE_AA)
         det = detect_lines(jnp.asarray(img), 64)
-        ep = np.asarray(det.endpoints)[np.asarray(det.valid)]
+        ep = np.asarray(det.endpoints)[np.asarray(det.valid) > 0.5]
         assert len(ep) >= 1
         # best segment close to the drawn one (edges sit 1px off the centerline)
         target = np.array([[20, 100], [140, 20]], np.float32)

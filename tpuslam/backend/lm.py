@@ -212,20 +212,27 @@ def _lm_iteration(state: BAState, prob: BAProblem, cam: Intrinsics, cfg: LMConfi
     Hxx_inv = jnp.linalg.inv(Hxx_d)
 
     # ---- Schur complement: reduced camera system -----------------------
-    S = jnp.zeros((P, 6, P, 6), dtype=Hpp.dtype)
-    S = S.at[jnp.arange(P), :, jnp.arange(P), :].set(Hpp_d)
-    S = S - jnp.einsum("lpia,lab,lqjb->piqj", Wl, Hll_inv, Wl)
-    S = S - jnp.einsum("mpia,mab,mqjb->piqj", Wx, Hxx_inv, Wx)
+    # flatten (P, 6) into one axis so every contraction is a plain batched
+    # matmul (2-D outputs keep the Mosaic/XLA lowering simple; 4-D-output
+    # einsums ballooned the remote compile, PERF_NOTES.md)
+    Al = Wl.transpose(0, 3, 1, 2).reshape(Lc, 4, P * 6)  # (L, 4, P6)
+    Ax = Wx.transpose(0, 3, 1, 2).reshape(M, 3, P * 6)  # (M, 3, P6)
+    # block-diagonal Hpp placement, scatter-free
+    S_full = jnp.einsum("pik,pq->piqk", Hpp_d, jnp.eye(P, dtype=Hpp.dtype)).reshape(
+        P * 6, P * 6
+    )
+    HinvAl = jnp.einsum("lab,lbj->laj", Hll_inv, Al)  # (L, 4, P6)
+    HinvAx = jnp.einsum("mab,mbj->maj", Hxx_inv, Ax)
+    S_full = S_full - jnp.einsum("lai,laj->ij", Al, HinvAl)
+    S_full = S_full - jnp.einsum("mai,maj->ij", Ax, HinvAx)
     rhs = (
-        bp
-        - jnp.einsum("lpia,lab,lb->pi", Wl, Hll_inv, bl)
-        - jnp.einsum("mpia,mab,mb->pi", Wx, Hxx_inv, bx)
+        bp.reshape(P * 6)
+        - jnp.einsum("laj,la->j", HinvAl, bl)
+        - jnp.einsum("maj,ma->j", HinvAx, bx)
     )
 
-    S_flat = S.reshape(P * 6, P * 6) + _EPS * jnp.eye(P * 6, dtype=S.dtype)
-    dp = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(S_flat), rhs.reshape(P * 6)
-    ).reshape(P, 6)
+    S_full = S_full + _EPS * jnp.eye(P * 6, dtype=S_full.dtype)
+    dp = jnp.linalg.solve(S_full, rhs).reshape(P, 6)
     dp = dp * prob.pose_free[:, None]
 
     # ---- back-substitution --------------------------------------------

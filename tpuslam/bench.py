@@ -10,6 +10,7 @@ the same shape class as EuRoC VGA. Warmup frames (jit compiles) excluded
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Dict
 
@@ -92,3 +93,56 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
     if not quiet:
         print(json.dumps(out, default=float))
     return out
+
+
+def run_ba_benchmark(quiet: bool = False) -> Dict:
+    """Local-BA solve timing (ms/solve) on realistic window shapes.
+
+    Run in its OWN process: the LM+Schur compile is the longest program in
+    the framework and degrades whatever process compiles it on the axon
+    backend (PERF_NOTES.md) — keeping it away from the tracking loop mirrors
+    the reference's background-thread split.
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.backend.lm import LMConfig
+    from tpuslam.backend.local_ba import _run_lm_jit
+    from tpuslam.geometry.camera import Intrinsics
+    from tpuslam.parallel.sharded_ba import _toy_problem
+
+    cam = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0, width=640, height=480, baseline=0.11)
+    rng = np.random.default_rng(0)
+    out = {"device": str(jax.devices()[0])}
+    for caps in ((8, 128, 512), (16, 256, 1024)):
+        P_, L_, OL_ = caps
+        prob = _toy_problem(rng, P_=P_, L=L_, OL=OL_, cam=cam)
+        t0 = time.perf_counter()
+        jax.block_until_ready(_run_lm_jit(prob, cam, LMConfig(max_iters=8)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(5):
+            jax.block_until_ready(_run_lm_jit(prob, cam, LMConfig(max_iters=8)))
+        ms = (time.perf_counter() - t0) / 5 * 1e3
+        out[f"ba_ms_P{P_}_L{L_}"] = ms
+        print(f"ba bench {caps}: compile {compile_s:.1f}s solve {ms:.1f}ms", file=sys.stderr, flush=True)
+    out["local_ba_ms"] = out["ba_ms_P8_L128"]
+    if not quiet:
+        print(json.dumps(out, default=float))
+    return out
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    if "--ba" in _sys.argv:
+        print(json.dumps(run_ba_benchmark(quiet=True), default=float))
+    else:
+        res = run_benchmark(
+            frames=int(os.environ.get("TPUSLAM_BENCH_FRAMES", "100")),
+            warmup=6,
+            quiet=True,
+        )
+        print(json.dumps(res, default=float))

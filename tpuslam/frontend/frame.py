@@ -63,23 +63,25 @@ class FrameFeatures(NamedTuple):
     has_depth: jnp.ndarray  # (K,) f32 {0, 1}
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _pyramid_jit(img, n_levels: int, scale: float, blur_sigma: float = 0.6):
+    return tuple(build_pyramid(img, n_levels, scale, blur_sigma))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _lbd_stage(lim, endpoints, lbd_params: LBDParams):
+    gx, gy, _, _ = image_gradients(lim * 255.0)
+    return lbd_descriptors(gx, gy, endpoints, lbd_params)
+
+
 @partial(jax.jit, static_argnums=(1,))
-def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()) -> FrameFeatures:
-    """(H, W) grayscale f32 in [0, 1] -> FrameFeatures.
-
-    One XLA program: pyramid, per-level gradients, LSD detection, LBD
-    descriptors, cross-level merge to capacity ``params.max_lines``.
-    """
+def _merge_levels(per_level, params: FrontendParams) -> FrameFeatures:
+    """Scale per-level detections to level 0 and keep top-K by response."""
     K = params.max_lines
-    levels = build_pyramid(img, params.n_levels, params.scale)
-
-    per_level = []
-    for lvl, lim in enumerate(levels):
-        det: DetectedLines = detect_lines(lim, K, params.lsd)
-        gx, gy, _, _ = image_gradients(lim * 255.0)
-        desc, bits = lbd_descriptors(gx, gy, det.endpoints, params.lbd)
+    rows = []
+    for lvl, (det, desc, bits) in enumerate(per_level):
         up = 1.0 / (params.scale**lvl)
-        per_level.append(
+        rows.append(
             dict(
                 endpoints=det.endpoints * up,
                 valid=det.valid,
@@ -93,10 +95,8 @@ def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()
                 bits=bits,
             )
         )
-
-    cat = {k: jnp.concatenate([pl_[k] for pl_ in per_level]) for k in per_level[0]}
-    # top-K by (validity, response)
-    score = jnp.where(cat["valid"], cat["response"], -1.0)
+    cat = {k: jnp.concatenate([r[k] for r in rows]) for k in rows[0]}
+    score = cat["response"] * cat["valid"] - (1.0 - cat["valid"])
     _, order = jax.lax.top_k(score, K)
 
     def take(x):
@@ -104,7 +104,7 @@ def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()
 
     return FrameFeatures(
         endpoints=take(cat["endpoints"]),
-        valid=take(cat["valid"]).astype(jnp.float32),
+        valid=take(cat["valid"]),
         angle=take(cat["angle"]),
         length=take(cat["length"]),
         midpoint=take(cat["midpoint"]),
@@ -116,6 +116,25 @@ def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()
         depth=jnp.zeros((K, 2), jnp.float32),
         has_depth=jnp.zeros((K,), jnp.float32),
     )
+
+
+def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()) -> FrameFeatures:
+    """(H, W) grayscale f32 in [0, 1] -> FrameFeatures.
+
+    Host-orchestrated stage pipeline (pyramid | per-level LSD | per-level
+    LBD | merge): each stage is a separate modest-size jitted program. The
+    fully fused variant compiles ~25-35 s on the axon remote-compile
+    service, riding the latency cliff that degrades the whole process
+    (PERF_NOTES.md); the split stages compile in 1-18 s each.
+    """
+    img = jnp.asarray(img, jnp.float32)
+    levels = _pyramid_jit(img, params.n_levels, params.scale)
+    per_level = []
+    for lim in levels:
+        det: DetectedLines = detect_lines(lim, params.max_lines, params.lsd)
+        desc, bits = _lbd_stage(lim, det.endpoints, params.lbd)
+        per_level.append((det, desc, bits))
+    return _merge_levels(tuple(per_level), params)
 
 
 class StereoParams(NamedTuple):

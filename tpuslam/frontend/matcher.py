@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuslam.backend.pose_opt import PoseOptConfig, pose_optimize
 from tpuslam.frontend.frame import FrameFeatures
@@ -172,8 +173,8 @@ def tracked_pose_step(
     )
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _triangulate_stereo(T_wc, endpoints, depth, validf, cam: Intrinsics):
+@partial(jax.jit, static_argnums=(5,))
+def _triangulate_stereo(T_wc, endpoints, depth, has_depthf, validf, cam: Intrinsics):
     x = (endpoints[..., 0] - cam.cx) / cam.fx  # (K, 2)
     y = (endpoints[..., 1] - cam.cy) / cam.fy
     z = depth  # (K, 2)
@@ -184,7 +185,8 @@ def _triangulate_stereo(T_wc, endpoints, depth, validf, cam: Intrinsics):
     plucker = jnp.concatenate([n, v], axis=-1)
     seg_len = jnp.linalg.norm(v, axis=-1)
     okf = (
-        validf
+        has_depthf
+        * validf
         * (seg_len > 0.05).astype(jnp.float32)
         * (seg_len < 20.0).astype(jnp.float32)
     )
@@ -196,8 +198,9 @@ def triangulate_stereo_lines(T_wc: jnp.ndarray, feats: FrameFeatures, cam: Intri
 
     Returns (plucker (K, 6), ep3d (K, 2, 3), okf (K,) f32). SURVEY §4.3
     CreateNewMapLines, stereo branch: direct backprojection, no two-view
-    search needed. Thin host wrapper passing only the used feature arrays.
+    search needed. Thin host wrapper passing only the used feature arrays
+    (the has_depth*valid combine happens inside the jit — no eager ops).
     """
     return _triangulate_stereo(
-        jnp.asarray(T_wc), feats.endpoints, feats.depth, feats.has_depth * feats.valid, cam
+        jnp.asarray(np.asarray(T_wc)), feats.endpoints, feats.depth, feats.has_depth, feats.valid, cam
     )

@@ -21,6 +21,26 @@ import numpy as np
 from tpuslam.geometry.camera import Intrinsics
 
 
+def _se3_exp_np(xi: np.ndarray) -> np.ndarray:
+    """Numpy SE(3) exponential (rho, phi) -> 4x4 (host-only; no device ops)."""
+    rho, phi = xi[:3], xi[3:]
+    t = np.linalg.norm(phi)
+    W = np.array(
+        [[0, -phi[2], phi[1]], [phi[2], 0, -phi[0]], [-phi[1], phi[0], 0]], np.float64
+    )
+    if t < 1e-8:
+        R = np.eye(3) + W
+        V = np.eye(3) + 0.5 * W
+    else:
+        W2 = W @ W
+        R = np.eye(3) + np.sin(t) / t * W + (1 - np.cos(t)) / t**2 * W2
+        V = np.eye(3) + (1 - np.cos(t)) / t**2 * W + (t - np.sin(t)) / t**3 * W2
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = V @ rho
+    return T
+
+
 class SyntheticScene(NamedTuple):
     segments: np.ndarray  # (S, 2, 3) 3D segment endpoints (world)
     points: np.ndarray  # (Q, 3) 3D points (world)
@@ -71,18 +91,16 @@ def make_wireframe_scene(
     )
 
     # Smooth trajectory: integrate a low-pass-filtered random velocity.
+    # Pure numpy (no jax): scene generation must not issue eager device ops —
+    # they poison the process on the axon backend (PERF_NOTES.md).
     vels = rng.normal(size=(n_frames, 6)) * motion_scale
     for i in range(1, n_frames):
         vels[i] = 0.9 * vels[i - 1] + 0.1 * vels[i]
     vels[:, 3:] *= 0.3  # gentler rotation
-    from tpuslam.geometry.se3 import se3_exp  # local import to keep numpy-only API thin
-
-    import jax.numpy as jnp
-
     T = np.eye(4, dtype=np.float32)
     poses = []
     for i in range(n_frames):
-        dT = np.asarray(se3_exp(jnp.asarray(vels[i], dtype=jnp.float32)))
+        dT = _se3_exp_np(vels[i])
         T = (dT @ T).astype(np.float32)
         poses.append(T.copy())
     return SyntheticScene(

@@ -52,7 +52,7 @@ class LSDParams(NamedTuple):
 
 class DetectedLines(NamedTuple):
     endpoints: jnp.ndarray  # (K, 2, 2) [[x0,y0],[x1,y1]] in px
-    valid: jnp.ndarray  # (K,) bool
+    valid: jnp.ndarray  # (K,) f32 {0,1} (f32: crosses jit boundaries)
     response: jnp.ndarray  # (K,) support pixel count
     angle: jnp.ndarray  # (K,) segment direction angle
     width: jnp.ndarray  # (K,) rectangle width
@@ -204,7 +204,7 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     seg_angle = jnp.arctan2(ev[:, 1], ev[:, 0])
     det = DetectedLines(
         endpoints=jnp.stack([p0, p1], axis=1),
-        valid=valid,
+        valid=valid.astype(jnp.float32),
         response=resp,
         angle=seg_angle,
         width=width,
@@ -231,6 +231,7 @@ def merge_collinear(
     moments for the merged endpoints. All dense fixed-shape ops.
     """
     K = det.endpoints.shape[0]
+    validb = det.valid > 0.5  # internal bool is fine; boundary stays f32
     p0, p1 = det.endpoints[:, 0], det.endpoints[:, 1]
     d = p1 - p0
     dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
@@ -261,7 +262,7 @@ def merge_collinear(
     gap = jnp.maximum(j_lo - i_hi, i_lo - j_hi)  # <0 if overlapping
     gap_ok = gap < max_gap
 
-    vv = det.valid[:, None] & det.valid[None, :]
+    vv = validb[:, None] & validb[None, :]
     adj = perp_ok & ang_ok & gap_ok & vv
     adj = adj & adj.T
     adj = adj | jnp.eye(K, dtype=bool)
@@ -271,8 +272,8 @@ def merge_collinear(
         labels = jnp.min(jnp.where(adj, labels[None, :], K), axis=1)
         labels = labels[labels]  # pointer jump
 
-    is_rep = (labels == jnp.arange(K)) & det.valid
-    w = jnp.where(det.valid, det.response, 0.0)
+    is_rep = (labels == jnp.arange(K)) & validb
+    w = det.response * det.valid
 
     def seg(x):
         return jax.ops.segment_sum(x, labels, K)
@@ -303,8 +304,8 @@ def merge_collinear(
     gd = ev[labels]  # (K, 2) group direction per member
     gc = jnp.stack([ex, ey], axis=-1)[labels]
     t_ep = jnp.sum((det.endpoints - gc[:, None, :]) * gd[:, None, :], axis=-1)  # (K, 2)
-    t_lo = jnp.min(jnp.where(det.valid[:, None], t_ep, jnp.inf), axis=1)
-    t_hi = jnp.max(jnp.where(det.valid[:, None], t_ep, -jnp.inf), axis=1)
+    t_lo = jnp.min(jnp.where(validb[:, None], t_ep, jnp.inf), axis=1)
+    t_hi = jnp.max(jnp.where(validb[:, None], t_ep, -jnp.inf), axis=1)
     g_lo = jax.ops.segment_min(t_lo, labels, K)
     g_hi = jax.ops.segment_max(t_hi, labels, K)
     g_lo = jnp.where(jnp.isfinite(g_lo), g_lo, 0.0)
@@ -318,7 +319,7 @@ def merge_collinear(
     new_len = g_hi - g_lo
     return DetectedLines(
         endpoints=jnp.stack([new_p0, new_p1], axis=1),
-        valid=is_rep,
+        valid=is_rep.astype(jnp.float32),
         response=new_resp,
         angle=jnp.arctan2(ev[:, 1], ev[:, 0]),
         width=new_width,

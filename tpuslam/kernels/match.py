@@ -29,8 +29,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(1e9)
-_PEN = jnp.float32(1e6)  # generic gate penalty scale (>> any Hamming dist)
+# Python-float scales, NOT jnp scalars: module-level jnp constants are
+# device arrays created eagerly at import and embedded per-program — plain
+# floats lower as HLO literals with zero device interaction.
+INF = 1e9
+_PEN = 1e6  # generic gate penalty scale (>> any Hamming dist)
 
 
 def unpack_bits(words: jnp.ndarray, n_bits: int) -> jnp.ndarray:

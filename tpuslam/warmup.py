@@ -76,7 +76,9 @@ def warmup_tracking(
             sigma=jnp.ones(K, jnp.float32),
             desc=jnp.zeros((K, 72), jnp.float32),
             desc_bits=jnp.asarray(rng.integers(0, 2**31, (K, 8)), jnp.uint32),
-            depth=jnp.abs(jnp.asarray(rng.uniform(1, 5, (K, 2)), jnp.float32)),
+            # NOTE: no eager jnp compute here — a single eager (op-by-op)
+            # dispatch degrades the process on the axon backend (PERF_NOTES)
+            depth=jnp.asarray(rng.uniform(1, 5, (K, 2)), jnp.float32),
             has_depth=jnp.ones(K, jnp.float32),
         )
 
@@ -98,7 +100,8 @@ def warmup_tracking(
         ("stereo_post", lambda: _stereo_depth_post(
             fl.endpoints, fl.angle, fr.endpoints, idxK, jnp.ones(K, jnp.float32),
             jnp.float32(50.0), sp, 10.0)),
-        ("triangulate", lambda: _triangulate_stereo(T, fl.endpoints, fl.depth, fl.valid, cam)),
+        ("triangulate", lambda: _triangulate_stereo(
+            T, fl.endpoints, fl.depth, fl.has_depth, fl.valid, cam)),
         ("project_pen_coarse", lambda: _project_penalty(
             T, ep3d, validf, fl.midpoint, fl.angle, cam, sc)),
         ("project_pen_fine", lambda: _project_penalty(
