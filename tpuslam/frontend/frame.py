@@ -13,6 +13,7 @@ by detection response, with the measurement sigma scaled by the level factor.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -118,23 +119,36 @@ def _merge_levels(per_level, params: FrontendParams) -> FrameFeatures:
     )
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _fused_extract(img, params: FrontendParams) -> FrameFeatures:
+    levels = _pyramid_jit.__wrapped__(img, params.n_levels, params.scale)
+    per_level = []
+    for lim in levels:
+        det: DetectedLines = detect_lines.__wrapped__(lim, params.max_lines, params.lsd)
+        desc, bits = _lbd_stage.__wrapped__(lim, det.endpoints, params.lbd)
+        per_level.append((det, desc, bits))
+    return _merge_levels.__wrapped__(tuple(per_level), params)
+
+
 def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()) -> FrameFeatures:
     """(H, W) grayscale f32 in [0, 1] -> FrameFeatures.
 
-    Host-orchestrated stage pipeline (pyramid | per-level LSD | per-level
-    LBD | merge): each stage is a separate modest-size jitted program. The
-    fully fused variant compiles ~25-35 s on the axon remote-compile
-    service, riding the latency cliff that degrades the whole process
-    (PERF_NOTES.md); the split stages compile in 1-18 s each.
+    ONE fused program by default: the per-frame hot path must stay within
+    the terminal's small resident-executable budget or every dispatch pays
+    a re-upload (PERF_NOTES.md). Set TPUSLAM_STAGED=1 to run the stages as
+    separate programs (smaller compiles; useful when the remote-compile
+    service's latency lottery keeps killing the fused compile).
     """
     img = jnp.asarray(img, jnp.float32)
-    levels = _pyramid_jit(img, params.n_levels, params.scale)
-    per_level = []
-    for lim in levels:
-        det: DetectedLines = detect_lines(lim, params.max_lines, params.lsd)
-        desc, bits = _lbd_stage(lim, det.endpoints, params.lbd)
-        per_level.append((det, desc, bits))
-    return _merge_levels(tuple(per_level), params)
+    if os.environ.get("TPUSLAM_STAGED", "0") == "1":
+        levels = _pyramid_jit(img, params.n_levels, params.scale)
+        per_level = []
+        for lim in levels:
+            det: DetectedLines = detect_lines(lim, params.max_lines, params.lsd)
+            desc, bits = _lbd_stage(lim, det.endpoints, params.lbd)
+            per_level.append((det, desc, bits))
+        return _merge_levels(tuple(per_level), params)
+    return _fused_extract(img, params)
 
 
 class StereoParams(NamedTuple):
@@ -184,6 +198,21 @@ def _stereo_depth_post(
     return depth, okf
 
 
+@partial(jax.jit, static_argnums=(13, 14))
+def _fused_stereo(
+    mid_l, ang_l, len_l, bits_l, valid_l, ep_l,
+    mid_r, ang_r, len_r, bits_r, valid_r, ep_r,
+    fx_baseline, params: StereoParams, near_horizontal_deg: float,
+):
+    from tpuslam.kernels.match import _match_body
+
+    pen = _stereo_gate_penalty.__wrapped__(mid_l, ang_l, len_l, mid_r, ang_r, len_r, params)
+    m = _match_body(bits_l, valid_l, bits_r, valid_r, pen, params.match)
+    return _stereo_depth_post.__wrapped__(
+        ep_l, ang_l, ep_r, m.idx, m.valid, fx_baseline, params, near_horizontal_deg
+    )
+
+
 def stereo_line_depths(
     left: FrameFeatures,
     right: FrameFeatures,
@@ -198,28 +227,14 @@ def stereo_line_depths(
     (SURVEY §4.2 '[DEV: Hamming top-k on MXU]'). Near-horizontal lines are
     rejected (disparity ill-conditioned along the epipolar direction).
 
-    Host-orchestrated as THREE small jitted programs (gate penalty, MXU
-    match, depth recovery) rather than one fused program: each compiles
-    locally in ~1 s and dispatches in ~0.05 ms on the axon Mosaic backend,
-    where the fused version falls off a compiler cliff (see
-    kernels/match.py docstring). Every program takes exactly the arrays it
-    uses — unused pytree leaves at a jit boundary also trigger the slow
-    path.
+    One fused program with flat, fully-used arguments (the shapes of the
+    per-frame device pipeline are set by the terminal's resident-executable
+    budget and the compile-service pathologies documented in PERF_NOTES.md:
+    flat f32/uint32 args, additive-penalty gates, Python-float constants).
     """
-    pen = _stereo_gate_penalty(
-        left.midpoint, left.angle, left.length, right.midpoint, right.angle, right.length, params
-    )
-    m = match_descriptors(
-        left.desc_bits, left.valid, right.desc_bits, right.valid, params.match, pen
-    )
-    depth, okf = _stereo_depth_post(
-        left.endpoints,
-        left.angle,
-        right.endpoints,
-        m.idx,
-        m.valid,
-        jnp.asarray(fx_baseline, jnp.float32),
-        params,
-        near_horizontal_deg,
+    depth, okf = _fused_stereo(
+        left.midpoint, left.angle, left.length, left.desc_bits, left.valid, left.endpoints,
+        right.midpoint, right.angle, right.length, right.desc_bits, right.valid, right.endpoints,
+        jnp.asarray(fx_baseline, jnp.float32), params, near_horizontal_deg,
     )
     return left._replace(depth=depth, has_depth=okf)

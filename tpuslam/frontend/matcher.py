@@ -143,6 +143,22 @@ def _pose_opt_from_matches(
     return res, jnp.sum(match_validf).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnums=(11, 12, 13))
+def _fused_track(
+    T_pred, map_plucker, map_ep3d, map_bits, map_validf,
+    f_mid, f_ang, f_bits, f_valid, f_ep, f_sigma,
+    cam: Intrinsics, search: "ProjectionSearchParams", opt: PoseOptConfig,
+):
+    from tpuslam.kernels.match import _match_body
+
+    pen, vf = _project_penalty.__wrapped__(T_pred, map_ep3d, map_validf, f_mid, f_ang, cam, search)
+    m = _match_body(map_bits, vf, f_bits, f_valid, pen, search.match)
+    res, n_matched = _pose_opt_from_matches.__wrapped__(
+        T_pred, map_plucker, f_ep, f_sigma, m.idx, m.valid, cam, opt
+    )
+    return res.pose, m.idx, res.inlier_lines, n_matched, res.num_inliers
+
+
 def tracked_pose_step(
     T_pred: jnp.ndarray,
     map_plucker: jnp.ndarray,  # (N, 6) world lines
@@ -154,22 +170,23 @@ def tracked_pose_step(
     search: ProjectionSearchParams = ProjectionSearchParams(),
     opt: PoseOptConfig = PoseOptConfig(),
 ) -> TrackStepResult:
-    """One tracking stage: project+match+pose-LM+re-gate.
+    """One tracking stage: project+match+pose-LM+re-gate, as ONE fused
+    program with flat fully-used args (PERF_NOTES.md shapes the design).
 
-    SURVEY §4.2 TrackWithMotionModel / TrackLocalMap body. Three device
-    dispatches (projection+penalty, MXU match, pose LM), each a small
-    locally-compiling program (axon Mosaic compile-cliff avoidance).
+    SURVEY §4.2 TrackWithMotionModel / TrackLocalMap body.
     """
-    m = search_by_projection(T_pred, map_ep3d, map_bits, map_valid, feats, cam, search)
-    res, n_matched = _pose_opt_from_matches(
-        T_pred, map_plucker, feats.endpoints, feats.sigma, m.idx, m.valid, cam, opt
+    pose, midx, inlier, n_matched, n_inl = _fused_track(
+        T_pred, map_plucker, map_ep3d, map_bits,
+        map_valid.astype(jnp.float32) if map_valid.dtype != jnp.float32 else map_valid,
+        feats.midpoint, feats.angle, feats.desc_bits, feats.valid, feats.endpoints, feats.sigma,
+        cam, search, opt,
     )
     return TrackStepResult(
-        pose=res.pose,
-        match_idx=m.idx,
-        inlier=res.inlier_lines,
+        pose=pose,
+        match_idx=midx,
+        inlier=inlier,
         num_matched=n_matched,
-        num_inliers=res.num_inliers,
+        num_inliers=n_inl,
     )
 
 

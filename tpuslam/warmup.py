@@ -93,27 +93,25 @@ def warmup_tracking(
     idxK = jnp.zeros(K, jnp.int32)
     idxN = jnp.zeros(NL, jnp.int32)
 
+    from tpuslam.frontend.frame import _fused_stereo
+    from tpuslam.frontend.matcher import _fused_track
+
     steps = [
-        # (name, thunk) — ascending historical compile cost
-        ("stereo_pen", lambda: _stereo_gate_penalty(
-            fl.midpoint, fl.angle, fl.length, fr.midpoint, fr.angle, fr.length, sp)),
-        ("stereo_post", lambda: _stereo_depth_post(
-            fl.endpoints, fl.angle, fr.endpoints, idxK, jnp.ones(K, jnp.float32),
-            jnp.float32(50.0), sp, 10.0)),
+        # (name, thunk) — the fused per-frame residents (ascending cost)
         ("triangulate", lambda: _triangulate_stereo(
             T, fl.endpoints, fl.depth, fl.has_depth, fl.valid, cam)),
-        ("project_pen_coarse", lambda: _project_penalty(
-            T, ep3d, validf, fl.midpoint, fl.angle, cam, sc)),
-        ("project_pen_fine", lambda: _project_penalty(
-            T, ep3d, validf, fl.midpoint, fl.angle, cam, sf)),
-        ("match_stereo", lambda: _match_jit(
-            fl.desc_bits, fl.valid, fr.desc_bits, fr.valid, pen_kk, sp.match)),
-        ("match_track_c", lambda: _match_jit(
-            bits, validf, fl.desc_bits, fl.valid, pen_nk, sc.match)),
-        ("match_track_f", lambda: _match_jit(
-            bits, validf, fl.desc_bits, fl.valid, pen_nk, sf.match)),
-        ("pose_opt", lambda: _pose_opt_from_matches(
-            T, lines, fl.endpoints, fl.sigma, idxN, validf, cam, oc)),
+        ("fused_stereo", lambda: _fused_stereo(
+            fl.midpoint, fl.angle, fl.length, fl.desc_bits, fl.valid, fl.endpoints,
+            fr.midpoint, fr.angle, fr.length, fr.desc_bits, fr.valid, fr.endpoints,
+            jnp.float32(50.0), sp, 10.0)),
+        ("fused_track_c", lambda: _fused_track(
+            T, lines, ep3d, bits, validf,
+            fl.midpoint, fl.angle, fl.desc_bits, fl.valid, fl.endpoints, fl.sigma,
+            cam, sc, oc)),
+        ("fused_track_f", lambda: _fused_track(
+            T, lines, ep3d, bits, validf,
+            fl.midpoint, fl.angle, fl.desc_bits, fl.valid, fl.endpoints, fl.sigma,
+            cam, sf, oc)),
         ("extract", lambda: extract_features(
             jnp.asarray(rng.random((cam.height, cam.width)), jnp.float32), fe)),
     ]
