@@ -49,8 +49,17 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         imgs.append((il, ir))
 
     log(f"bench: {n_scene_frames} frames pre-rendered; warming up programs...")
+    from tpuslam.frontend.tracking import TrackerConfig
+
     mapping = os.environ.get("TPUSLAM_BENCH_NOMAP", "0") != "1"
-    sys_ = System(cam, sensor="stereo", loop_closing=False, mapping=mapping)
+    pipelined = os.environ.get("TPUSLAM_BENCH_PIPELINED", "1") == "1"
+    sys_ = System(
+        cam,
+        sensor="stereo",
+        loop_closing=False,
+        mapping=mapping,
+        tracker_cfg=TrackerConfig(pipelined=pipelined),
+    )
     if os.environ.get("TPUSLAM_BENCH_WARMUP", "1") == "1":
         from tpuslam.warmup import warmup_tracking
 

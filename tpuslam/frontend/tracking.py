@@ -19,9 +19,11 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpuslam.backend.pose_opt import PoseOptConfig
@@ -48,6 +50,8 @@ class TrackingState(enum.Enum):
     LOST = 2
 
 
+
+
 @dataclass
 class TrackerConfig:
     frontend: FrontendParams = FrontendParams()
@@ -56,6 +60,10 @@ class TrackerConfig:
     search_fine: ProjectionSearchParams = ProjectionSearchParams(radius=20.0)
     pose_opt: PoseOptConfig = PoseOptConfig()
     local_capacity: int = 1024  # padded local-map landmark count
+    pipelined: bool = False  # one-frame-lagged host syncs (latency hiding):
+    # pose prediction/acceptance stay device-resident; host state, keyframe
+    # decisions, and returned FrameResults lag one frame (PERF_NOTES.md —
+    # every host<->device sync pays a relay round trip on the axon backend)
     min_init_lines: int = 20
     min_track_matches: int = 10
     min_track_inliers: int = 8
@@ -101,6 +109,8 @@ class Tracker:
         # keyframe database for relocalization (installed by System)
         self.kf_db = None
         self.n_relocalizations = 0
+        # pipelined-mode state: the in-flight previous frame
+        self._pending = None
 
     # ---- public API ----------------------------------------------------
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> FrameResult:
@@ -117,6 +127,90 @@ class Tracker:
         feats = extract_features(jnp.asarray(img, jnp.float32), self.cfg.frontend)
         return self._track(feats, timestamp, stereo=False)
 
+    # ---- pipelined mode --------------------------------------------------
+    def _track_pipelined(self, feats: FrameFeatures, timestamp: float, stereo: bool):
+        """Latency-hiding tracking: the previous frame's track programs are
+        resolved only now — AFTER this frame's extraction/stereo dispatches
+        were enqueued (track_stereo) — so the previous frame's device
+        compute and the relay round trip overlap this frame's front-end.
+        Host state, map updates, and keyframe creation then run exactly as
+        in synchronous mode before this frame's track dispatch (no stale
+        maps, no device-side pose chain). Results lag one frame; call
+        flush() at sequence end."""
+        prev_result = None
+        prev = self._pending
+        self._pending = None
+        if prev is not None:
+            prev_result = prev[1] if prev[0] == "done" else self._resolve_pending(prev[1:])
+        if self.state == TrackingState.LOST:
+            # relocalize + track this frame synchronously
+            r = self._track_frame_sync(feats, timestamp, stereo, relocalize=True)
+            self._pending = ("done", r)
+            return prev_result or FrameResult(
+                self.frame_idx, timestamp, self.T_cw.copy(), self.state
+            )
+
+        T_pred = (
+            self.velocity @ self.last_T_cw if self.last_T_cw is not None else self.T_cw
+        )
+        local = self._local_map_arrays()
+        coarse: TrackStepResult = tracked_pose_step(
+            jnp.asarray(T_pred), local["plucker"], local["ep3d"], local["bits"],
+            local["valid"], feats, self.cam, self.cfg.search_coarse, self.cfg.pose_opt,
+        )
+        fine: TrackStepResult = tracked_pose_step(
+            coarse.pose, local["plucker"], local["ep3d"], local["bits"],
+            local["valid"], feats, self.cam, self.cfg.search_fine, self.cfg.pose_opt,
+        )
+        self._pending = (
+            "pending",
+            self.frame_idx,
+            timestamp,
+            feats,
+            fine,
+            stereo,
+            self._local_ids.copy(),
+            self._local_valid.copy(),
+        )
+        return prev_result or FrameResult(
+            self.frame_idx, timestamp, self.T_cw.copy(), self.state
+        )
+
+    def _resolve_pending(self, pending) -> FrameResult:
+        frame_idx, timestamp, feats, fine, stereo, local_ids, local_valid = pending
+        n_matches = int(fine.num_matched)
+        n_inliers = int(fine.num_inliers)
+        made_kf = False
+        if n_inliers >= self.cfg.min_track_inliers:
+            self.state = TrackingState.OK
+            new_T = np.asarray(fine.pose)
+            if self.last_T_cw is not None:
+                self.velocity = (new_T @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
+            self.last_T_cw = new_T
+            self.T_cw = new_T
+            # host frame_idx may have advanced; use the pending frame's
+            saved = self.frame_idx
+            self.frame_idx = frame_idx
+            if self._need_new_keyframe(n_inliers, feats, stereo):
+                self._create_keyframe(
+                    feats, timestamp, fine, stereo, local_ids, local_valid
+                )
+                made_kf = True
+            self.frame_idx = saved
+        else:
+            self.state = TrackingState.LOST
+            self.velocity = np.eye(4, dtype=np.float32)
+        return FrameResult(
+            frame_idx, timestamp, self.T_cw.copy(), self.state, n_matches, n_inliers, made_kf
+        )
+
+    def flush(self) -> Optional[FrameResult]:
+        """Resolve the in-flight pipelined frame (call at sequence end)."""
+        if self._pending is None:
+            return None
+        prev, self._pending = self._pending, None
+        return prev[1] if prev[0] == "done" else self._resolve_pending(prev[1:])
+
     # ---- core ----------------------------------------------------------
     def _track(self, feats: FrameFeatures, timestamp: float, stereo: bool) -> FrameResult:
         if self.state == TrackingState.NOT_INITIALIZED:
@@ -129,8 +223,15 @@ class Tracker:
                 made_keyframe=ok,
             )
 
+        if self.cfg.pipelined:
+            return self._track_pipelined(feats, timestamp, stereo)
+        return self._track_frame_sync(feats, timestamp, stereo, relocalize=True)
+
+    def _track_frame_sync(
+        self, feats: FrameFeatures, timestamp: float, stereo: bool, relocalize: bool
+    ) -> FrameResult:
         if self.state == TrackingState.LOST:
-            reloc = self._relocalize(feats)
+            reloc = self._relocalize(feats) if relocalize else None
             if reloc is None:
                 return FrameResult(
                     self.frame_idx, timestamp, self.T_cw.copy(), TrackingState.LOST
@@ -272,15 +373,24 @@ class Tracker:
         return weak
 
     def _create_keyframe(
-        self, feats: FrameFeatures, timestamp: float, fine: TrackStepResult, stereo: bool
+        self,
+        feats: FrameFeatures,
+        timestamp: float,
+        fine: TrackStepResult,
+        stereo: bool,
+        local_ids: np.ndarray | None = None,
+        local_valid: np.ndarray | None = None,
     ):
+        if local_ids is None:
+            local_ids = self._local_ids
+            local_valid = self._local_valid
         kf = self.map.new_keyframe(self.frame_idx, timestamp, self.T_cw, feats)
         # bind tracked landmarks: local slot i -> frame slot fine.match_idx[i]
         match_idx = np.asarray(fine.match_idx)
         inlier = np.asarray(fine.inlier) > 0.5
         for i in np.nonzero(inlier & (match_idx >= 0))[0]:
-            lid = int(self._local_ids[i])
-            if self._local_valid[i] and self.map.lines.alive[lid]:
+            lid = int(local_ids[i])
+            if local_valid[i] and self.map.lines.alive[lid]:
                 slot = int(match_idx[i])
                 if kf.line_ids[slot] < 0:
                     self.map.lines.add_observation(lid, kf, slot)

@@ -213,6 +213,10 @@ class System:
         return self.timer.summary()
 
     def shutdown(self):
+        r = self.tracker.flush() if hasattr(self.tracker, "flush") else None
+        if r is not None:
+            self.trajectory.append(r)
+            self._log(r, 0.0)
         if self._log_f is not None:
             self._log_f.write(json.dumps(dict(timing=self.timing_summary())) + "\n")
             self._log_f.close()
