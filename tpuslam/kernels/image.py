@@ -38,12 +38,15 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
         return blur_pallas(img, sigma, interpret=(mode == "interpret"))
     radius = max(1, int(math.ceil(3.0 * sigma)))
     k = _gaussian_kernel1d(sigma, radius)
-    pad = [(radius, radius)]
-    row = jnp.pad(img, ((0, 0), (radius, radius)), mode="edge")
-    row = jax.vmap(lambda r: jnp.convolve(r, k, mode="valid"))(row)
-    col = jnp.pad(row, ((radius, radius), (0, 0)), mode="edge")
-    col = jax.vmap(lambda c: jnp.convolve(c, k, mode="valid"), in_axes=1, out_axes=1)(col)
-    return col
+    # separable blur as two depthwise convs (one fused conv op each — the
+    # per-row vmapped convolve variant lowers to hundreds of tiny ops)
+    x = jnp.pad(img, ((radius, radius), (radius, radius)), mode="edge")
+    x = x[None, None]  # (1, 1, H+2r, W+2r)
+    kh = k.reshape(1, 1, 1, -1)
+    kv = k.reshape(1, 1, -1, 1)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
+    return x[0, 0]
 
 
 def pyramid_shapes(height: int, width: int, n_levels: int, scale: float = 0.8):

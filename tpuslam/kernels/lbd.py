@@ -1,18 +1,26 @@
-"""Line Band Descriptor (LBD) as a batched gather+reduce XLA program.
+"""Line Band Descriptor (LBD-style) as dense patch pooling (SURVEY §5 'LBD').
 
-SURVEY §5 'LBD': for each segment, a line-support region of ``m`` bands x
-width ``w`` aligned to the segment; per band, Gaussian-weighted sums of the
-gradient projected onto the local (d_parallel, d_orthogonal) frame, split by
-sign into 4 directional channels; descriptor = per-band (mean, std) of the 4
-channels -> ``8 * m`` floats (72 for m=9), L2-normalized; binarized by a
-fixed pairwise-comparison pattern into 256 bits for MXU/Hamming matching.
+The textbook LBD samples a rotated line-support region with per-sample
+bilinear interpolation — on TPU that is millions of random gathers, which
+Mosaic scalarizes (~150 ms/frame measured, PERF_NOTES.md). This
+implementation restructures the computation to be gather-free except for
+ONE contiguous `dynamic_slice` per segment:
 
-No cv2 oracle exists in this environment (SURVEY §6.2) — validated by
-invariance/matching property tests against the paper spec.
+1. slice a fixed PATCH x PATCH window centered on the segment midpoint
+   (contiguous copy -> DMA-friendly),
+2. express the band geometry densely: per-pixel parallel/perpendicular
+   coordinates w.r.t. the line come from two dot products with the
+   direction; band membership is a triangular soft-assignment matrix,
+3. per-band statistics = batched matvecs over the flattened patch (MXU),
+   giving Gaussian-weighted mean and std of the 4 directional gradient
+   channels per band -> 8*m floats, L2-normalized, binarized by a fixed
+   pairwise comparison pattern into 256 bits.
 
-Batched over a fixed segment capacity K; invalid segments produce zero
-descriptors. All sampling is bilinear gather on the gradient images —
-vectorized, fixed-shape, fuses into one XLA program with detection.
+Descriptor semantics match LBD's structure (band gradient statistics in the
+line frame); values differ from OpenCV's (no oracle exists in this
+environment anyway — SURVEY §6.2); rotation/illumination invariance and
+matching precision are property-tested. Segments longer than the patch are
+described by their central PATCH-px extent.
 """
 
 from __future__ import annotations
@@ -28,31 +36,8 @@ import numpy as np
 class LBDParams(NamedTuple):
     n_bands: int = 9  # m
     band_width: int = 7  # w (rows per band)
-    n_samples: int = 48  # samples along the segment per row
+    patch: int = 64  # sampling window (PATCH x PATCH) around the midpoint
     n_bits: int = 256  # binarized descriptor length
-
-
-def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample img (H, W) at float coords; zero outside."""
-    H, W = img.shape
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    def tap(xi, yi, wgt):
-        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
-        return jnp.where(inb, v, 0.0) * wgt
-
-    return (
-        tap(x0i, y0i, (1 - fx) * (1 - fy))
-        + tap(x0i + 1, y0i, fx * (1 - fy))
-        + tap(x0i, y0i + 1, (1 - fx) * fy)
-        + tap(x0i + 1, y0i + 1, fx * fy)
-    )
 
 
 def _pair_pattern(n_floats: int, n_bits: int) -> np.ndarray:
@@ -81,50 +66,76 @@ def lbd_descriptors(
     Returns (desc_float (K, 8*m) L2-normalized, desc_bits (K, n_bits/32)
     uint32). Degenerate (zero-length / padded) segments yield zeros.
     """
-    m, w, S = params.n_bands, params.band_width, params.n_samples
-    R = m * w  # total rows across the support region
+    m, w, P = params.n_bands, params.band_width, params.patch
+    H, W = gx.shape
+    K = endpoints.shape[0]
 
-    p0 = endpoints[:, 0]  # (K, 2)
+    p0 = endpoints[:, 0]
     p1 = endpoints[:, 1]
     d = p1 - p0
     length = jnp.linalg.norm(d, axis=-1, keepdims=True)
     dL = d / jnp.maximum(length, 1e-6)  # parallel unit vector
     dO = jnp.stack([-dL[:, 1], dL[:, 0]], axis=-1)  # orthogonal
+    mid = 0.5 * (p0 + p1)
 
-    # sample grid: rows r in [-(R-1)/2, (R-1)/2] along dO, S samples along dL
-    r_off = jnp.arange(R, dtype=jnp.float32) - (R - 1) / 2.0  # (R,)
-    s_frac = jnp.linspace(0.0, 1.0, S)  # (S,)
+    # one contiguous patch per segment (corner clipped inside the image)
+    cx = jnp.clip(jnp.round(mid[:, 0]).astype(jnp.int32) - P // 2, 0, max(W - P, 0))
+    cy = jnp.clip(jnp.round(mid[:, 1]).astype(jnp.int32) - P // 2, 0, max(H - P, 0))
 
-    # positions: (K, R, S, 2)
-    base = p0[:, None, None, :] + s_frac[None, None, :, None] * d[:, None, None, :]
-    pos = base + r_off[None, :, None, None] * dO[:, None, None, :]
+    def patch_of(im, x0, y0):
+        return jax.lax.dynamic_slice(im, (y0, x0), (P, P))
 
-    sgx = _bilinear(gx, pos[..., 0].reshape(-1), pos[..., 1].reshape(-1)).reshape(
-        pos.shape[:-1]
-    )
-    sgy = _bilinear(gy, pos[..., 0].reshape(-1), pos[..., 1].reshape(-1)).reshape(
-        pos.shape[:-1]
-    )
+    pgx = jax.vmap(patch_of, in_axes=(None, 0, 0))(gx, cx, cy)  # (K, P, P)
+    pgy = jax.vmap(patch_of, in_axes=(None, 0, 0))(gy, cx, cy)
+
+    # per-pixel line-frame coordinates (dense)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1).astype(jnp.float32)
+    ax = xx[None] + cx[:, None, None].astype(jnp.float32) - mid[:, 0, None, None]
+    ay = yy[None] + cy[:, None, None].astype(jnp.float32) - mid[:, 1, None, None]
+    t = ax * dL[:, 0, None, None] + ay * dL[:, 1, None, None]  # parallel coord
+    n = ax * dO[:, 0, None, None] + ay * dO[:, 1, None, None]  # perpendicular
+
     # gradient in the line frame
-    gL = sgx * dL[:, None, None, 0] + sgy * dL[:, None, None, 1]
-    gO = sgx * dO[:, None, None, 0] + sgy * dO[:, None, None, 1]
+    gL = pgx * dL[:, 0, None, None] + pgy * dL[:, 1, None, None]
+    gO = pgx * dO[:, 0, None, None] + pgy * dO[:, 1, None, None]
+    ch = jnp.stack(
+        [
+            jnp.maximum(gO, 0.0),
+            jnp.maximum(-gO, 0.0),
+            jnp.maximum(gL, 0.0),
+            jnp.maximum(-gL, 0.0),
+        ],
+        axis=-1,
+    )  # (K, P, P, 4)
 
-    # 4 directional channels, summed along the row (S samples)
-    v1 = jnp.sum(jnp.maximum(gO, 0.0), axis=-1)  # (K, R)
-    v2 = jnp.sum(jnp.maximum(-gO, 0.0), axis=-1)
-    v3 = jnp.sum(jnp.maximum(gL, 0.0), axis=-1)
-    v4 = jnp.sum(jnp.maximum(-gL, 0.0), axis=-1)
-    rows = jnp.stack([v1, v2, v3, v4], axis=-1)  # (K, R, 4)
+    # sample weight: global Gaussian across the support region (sigma = R/2,
+    # R = m*w rows as in the LBD paper) x parallel-extent mask (soft edge)
+    R = m * w
+    half_len = jnp.minimum(0.5 * length[:, 0], P / 2.0 - 1.0)[:, None, None]
+    fg = jnp.exp(-0.5 * (n / (R / 2.0)) ** 2)
+    in_len = jnp.clip(half_len + 1.0 - jnp.abs(t), 0.0, 1.0)
+    wgt = fg * in_len  # (K, P, P)
 
-    # global Gaussian weight over rows (sigma = R/2 per the LBD paper)
-    fg = jnp.exp(-0.5 * (r_off / (R / 2.0)) ** 2)  # (R,)
-    rows = rows * fg[None, :, None]
+    # triangular soft band assignment over the perpendicular coordinate
+    band_centers = (jnp.arange(m, dtype=jnp.float32) - (m - 1) / 2.0) * w  # (m,)
+    a = jnp.clip(
+        1.0 - jnp.abs((n[..., None] - band_centers) / w), 0.0, 1.0
+    )  # (K, P, P, m)
 
-    # per-band mean/std over the w rows of each band
-    band_rows = rows.reshape(rows.shape[0], m, w, 4)
-    mean = jnp.mean(band_rows, axis=2)  # (K, m, 4)
-    std = jnp.std(band_rows, axis=2)  # (K, m, 4)
-    desc = jnp.concatenate([mean, std], axis=-1).reshape(rows.shape[0], 8 * m)
+    flat_ch = (ch * wgt[..., None]).reshape(K, P * P, 4)
+    flat_ch2 = (ch * ch * wgt[..., None]).reshape(K, P * P, 4)
+    flat_a = a.reshape(K, P * P, m)
+    flat_w = wgt.reshape(K, P * P)
+
+    # per-band weighted sums via batched matmuls (MXU)
+    s1 = jnp.einsum("kpc,kpm->kmc", flat_ch, flat_a)  # (K, m, 4)
+    s2 = jnp.einsum("kpc,kpm->kmc", flat_ch2, flat_a)
+    s0 = jnp.einsum("kp,kpm->km", flat_w, flat_a)[..., None]  # (K, m, 1)
+    mean = s1 / jnp.maximum(s0, 1e-6)
+    var = jnp.maximum(s2 / jnp.maximum(s0, 1e-6) - mean * mean, 0.0)
+    std = jnp.sqrt(var)
+    desc = jnp.concatenate([mean, std], axis=-1).reshape(K, 8 * m)
 
     # L2 normalize mean-part and std-part separately (LBD practice), then
     # clamp outliers and renormalize jointly.
@@ -137,8 +148,8 @@ def lbd_descriptors(
     desc = jnp.clip(desc, -0.4, 0.4)
     desc = l2n(desc)
 
-    degenerate = (length[:, 0] < 1e-3)[:, None]
-    desc = jnp.where(degenerate, 0.0, desc)
+    degeneratef = (length[:, 0] >= 1e-3).astype(jnp.float32)[:, None]
+    desc = desc * degeneratef
 
     # binarize with the fixed pair pattern, pack to uint32
     pairs = jnp.asarray(_pair_pattern(8 * m, params.n_bits))
@@ -148,5 +159,5 @@ def lbd_descriptors(
     words = jax.ops.segment_sum(
         (bits << bit_idx[None, :]).T, word_idx, params.n_bits // 32
     ).T.astype(jnp.uint32)  # (K, B/32)
-    words = jnp.where(degenerate, jnp.uint32(0), words)
+    words = words * degeneratef.astype(jnp.uint32)
     return desc, words

@@ -44,7 +44,8 @@ class LSDParams(NamedTuple):
     min_density: float = 0.35  # support / (length * width)
     max_width: float = 8.0  # px, reject blobs (density is the main gate;
     # the Gaussian prefilter widens legitimate edge strips to ~2-5 px)
-    n_iters: int = 10  # propagate+jump rounds (caps segment length ~2^n)
+    n_iters: int = 5  # (3 propagations + 1 jump) rounds; reach ~370 px
+    # (junction-split fragments beyond that merge in merge_collinear)
     prefilter_sigma: float = 0.75  # LSD's 0.6/0.8 pre-smoothing (0 = off);
     # without it, anti-aliased near-axis lines fragment at stair-steps
     merge_fragments: bool = True  # collinear post-merge (junction splits)
@@ -101,17 +102,24 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     ]
 
     def jump(lf):
-        """One pointer-jumping hop: label <- min(label, label-of-label)."""
+        """One pointer-jumping hop: label <- min(label, label-of-label).
+
+        The ONE random gather per round (N elements) — gathers scalarize on
+        this backend, so rounds use two cheap roll-propagations (dense VPU)
+        per jump; reach grows ~(r+2)*2 per round (PERF_NOTES.md).
+        """
         lut = jnp.append(lf, BIG)  # slot N = sentinel
         return jnp.minimum(lut[jnp.minimum(lf, N)], lf)
 
-    def body(labels, _):
+    def propagate(labels):
         m = labels
         for (dy, dx), ok in zip(offsets, compat):
             m = jnp.minimum(m, jnp.where(ok, _shift(labels, dy, dx), BIG))
-        lf = m.reshape(-1)
-        lf = jump(jump(lf))  # doubles reachable chain length per round
-        return lf.reshape(H, W), None
+        return m
+
+    def body(labels, _):
+        m = propagate(propagate(propagate(labels)))
+        return jump(m.reshape(-1)).reshape(H, W), None
 
     labels, _ = jax.lax.scan(body, labels, None, length=params.n_iters)
 
@@ -123,16 +131,21 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     ys = ys.astype(jnp.float32)
     w = jnp.where(support.reshape(-1), mag.reshape(-1), 0.0)
 
-    def seg(d):
-        return jax.ops.segment_sum(d, flat_labels, N + 1)
-
-    count = seg(jnp.where(support.reshape(-1), 1.0, 0.0))
-    sw = seg(w)
-    sx = seg(w * xs)
-    sy = seg(w * ys)
-    sxx = seg(w * xs * xs)
-    syy = seg(w * ys * ys)
-    sxy = seg(w * xs * ys)
+    # single fused scatter: all 7 per-component moments in one segment_sum
+    moments = jnp.stack(
+        [
+            support.reshape(-1).astype(jnp.float32),
+            w,
+            w * xs,
+            w * ys,
+            w * xs * xs,
+            w * ys * ys,
+            w * xs * ys,
+        ],
+        axis=-1,
+    )
+    sums = jax.ops.segment_sum(moments, flat_labels, N + 1)  # (N+1, 7)
+    count, sw, sx, sy, sxx, syy, sxy = [sums[:, i] for i in range(7)]
 
     # --- top-K components by support count --------------------------------
     count = count.at[N].set(0.0)
@@ -164,20 +177,33 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     inv = inv.at[comp_ids].set(jnp.arange(max_lines, dtype=jnp.int32))
     pix_slot = inv[flat_labels]  # (N,) slot in 0..K, K = not selected
 
-    dirx = jnp.append(ev[:, 0], 0.0)[pix_slot]
-    diry = jnp.append(ev[:, 1], 0.0)[pix_slot]
-    ccx = jnp.append(cx, 0.0)[pix_slot]
-    ccy = jnp.append(cy, 0.0)[pix_slot]
+    # one vector gather instead of five scalar-table gathers
+    tbl = jnp.concatenate(
+        [
+            jnp.stack([ev[:, 0], ev[:, 1], cx, cy], axis=-1),
+            jnp.zeros((1, 4), jnp.float32),
+        ]
+    )  # (K+1, 4)
+    vals = tbl[pix_slot]  # (N, 4)
+    dirx, diry, ccx, ccy = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
     t = (xs - ccx) * dirx + (ys - ccy) * diry
     t = jnp.where(support.reshape(-1), t, 0.0)
     tn = (xs - ccx) * (-diry) + (ys - ccy) * dirx  # normal offset
 
-    t_min = jax.ops.segment_min(
-        jnp.where(support.reshape(-1), t, jnp.inf), pix_slot, max_lines + 1
-    )[:max_lines]
-    t_max = jax.ops.segment_max(
-        jnp.where(support.reshape(-1), t, -jnp.inf), pix_slot, max_lines + 1
-    )[:max_lines]
+    # one fused segment_min for both extents (max = -min of negated)
+    ext = jax.ops.segment_min(
+        jnp.stack(
+            [
+                jnp.where(support.reshape(-1), t, jnp.inf),
+                jnp.where(support.reshape(-1), -t, jnp.inf),
+            ],
+            axis=-1,
+        ),
+        pix_slot,
+        max_lines + 1,
+    )
+    t_min = ext[:max_lines, 0]
+    t_max = -ext[:max_lines, 1]
     # robust width: sqrt of second moment normal to the line (std * 2*sqrt(3)
     # equals full width for a uniform strip)
     sn2 = jax.ops.segment_sum(
