@@ -121,6 +121,8 @@ class TrackStepResult(NamedTuple):
     inlier: jnp.ndarray  # (N,) final inlier mask (f32)
     num_matched: jnp.ndarray  # int32
     num_inliers: jnp.ndarray  # int32
+    packed: jnp.ndarray = None  # (19,) f32 [pose(16), n_matched, n_inliers,
+    # n_depth] — everything the host needs per frame in ONE d2h transfer
 
 
 @partial(jax.jit, static_argnums=(6, 7))
@@ -143,10 +145,10 @@ def _pose_opt_from_matches(
     return res, jnp.sum(match_validf).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(11, 12, 13))
+@partial(jax.jit, static_argnums=(12, 13, 14))
 def _fused_track(
     T_pred, map_plucker, map_ep3d, map_bits, map_validf,
-    f_mid, f_ang, f_bits, f_valid, f_ep, f_sigma,
+    f_mid, f_ang, f_bits, f_valid, f_ep, f_sigma, f_has_depth,
     cam: Intrinsics, search: "ProjectionSearchParams", opt: PoseOptConfig,
 ):
     from tpuslam.kernels.match import _match_body
@@ -156,7 +158,15 @@ def _fused_track(
     res, n_matched = _pose_opt_from_matches.__wrapped__(
         T_pred, map_plucker, f_ep, f_sigma, m.idx, m.valid, cam, opt
     )
-    return res.pose, m.idx, res.inlier_lines, n_matched, res.num_inliers
+    packed = jnp.concatenate(
+        [
+            res.pose.reshape(-1),
+            n_matched[None].astype(jnp.float32),
+            res.num_inliers[None].astype(jnp.float32),
+            jnp.sum(f_has_depth)[None],
+        ]
+    )
+    return res.pose, m.idx, res.inlier_lines, n_matched, res.num_inliers, packed
 
 
 def tracked_pose_step(
@@ -175,10 +185,11 @@ def tracked_pose_step(
 
     SURVEY §4.2 TrackWithMotionModel / TrackLocalMap body.
     """
-    pose, midx, inlier, n_matched, n_inl = _fused_track(
+    pose, midx, inlier, n_matched, n_inl, packed = _fused_track(
         T_pred, map_plucker, map_ep3d, map_bits,
         map_valid.astype(jnp.float32) if map_valid.dtype != jnp.float32 else map_valid,
-        feats.midpoint, feats.angle, feats.desc_bits, feats.valid, feats.endpoints, feats.sigma,
+        feats.midpoint, feats.angle, feats.desc_bits, feats.valid, feats.endpoints,
+        feats.sigma, feats.has_depth,
         cam, search, opt,
     )
     return TrackStepResult(
@@ -187,6 +198,7 @@ def tracked_pose_step(
         inlier=inlier,
         num_matched=n_matched,
         num_inliers=n_inl,
+        packed=packed,
     )
 
 

@@ -178,12 +178,15 @@ class Tracker:
 
     def _resolve_pending(self, pending) -> FrameResult:
         frame_idx, timestamp, feats, fine, stereo, local_ids, local_valid = pending
-        n_matches = int(fine.num_matched)
-        n_inliers = int(fine.num_inliers)
+        # single d2h transfer for everything the host needs this frame
+        packed = np.asarray(fine.packed)
+        n_matches = int(packed[16])
+        n_inliers = int(packed[17])
+        self._n_depth_cache = int(packed[18])
         made_kf = False
         if n_inliers >= self.cfg.min_track_inliers:
             self.state = TrackingState.OK
-            new_T = np.asarray(fine.pose)
+            new_T = packed[:16].reshape(4, 4).astype(np.float32)
             if self.last_T_cw is not None:
                 self.velocity = (new_T @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
             self.last_T_cw = new_T
@@ -366,7 +369,10 @@ class Tracker:
             return True
         weak = n_inliers < self.cfg.kf_tracked_ratio * max(self.ref_tracked, 1)
         if stereo:
-            n_depth = int(np.asarray(feats.has_depth).sum())
+            n_depth = getattr(self, "_n_depth_cache", None)
+            if n_depth is None:
+                n_depth = int(np.asarray(feats.has_depth).sum())
+            self._n_depth_cache = None
             return weak or (
                 n_inliers < self.cfg.min_new_kf_lines and n_depth > n_inliers + 10
             )
