@@ -107,11 +107,11 @@ def warmup_tracking(
         ("fused_track_c", lambda: _fused_track(
             T, lines, ep3d, bits, validf,
             fl.midpoint, fl.angle, fl.desc_bits, fl.valid, fl.endpoints, fl.sigma,
-            cam, sc, oc)),
+            fl.has_depth, cam, sc, oc)),
         ("fused_track_f", lambda: _fused_track(
             T, lines, ep3d, bits, validf,
             fl.midpoint, fl.angle, fl.desc_bits, fl.valid, fl.endpoints, fl.sigma,
-            cam, sf, oc)),
+            fl.has_depth, cam, sf, oc)),
         ("extract", lambda: extract_features(
             jnp.asarray(rng.random((cam.height, cam.width)), jnp.float32), fe)),
     ]
