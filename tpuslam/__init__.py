@@ -13,6 +13,14 @@ A ground-up JAX/XLA/Pallas rebuild of a C++ line-SLAM system
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU MXU matmuls default to bf16 multiplicands; the LM normal equations,
+# Jacobian products, and descriptor statistics need true f32 (verified: the
+# bf16 default loses tracking on-chip while CPU runs are fine). The extra
+# MXU passes are negligible at SLAM's matrix sizes.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from tpuslam.geometry.camera import Intrinsics  # noqa: E402
 
 

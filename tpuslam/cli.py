@@ -37,11 +37,17 @@ def cmd_run(args):
 
     seq = _load_sequence(args)
     stereo = seq.cam.baseline > 0 and not args.mono
+    tracker_cfg = None
+    if args.pipelined:
+        from tpuslam.frontend.tracking import TrackerConfig
+
+        tracker_cfg = TrackerConfig(pipelined=True)
     sys_ = System(
         seq.cam,
         sensor="stereo" if stereo else "mono",
         loop_closing=not args.no_loop,
         log_path=args.log,
+        tracker_cfg=tracker_cfg,
     )
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
     profile_ctx = None
@@ -162,6 +168,7 @@ def main(argv=None):
     r.add_argument("--verbose", action="store_true")
     r.add_argument("--plots", default="", help="write trajectory/map PNGs here")
     r.add_argument("--profile", default="", help="jax.profiler trace directory")
+    r.add_argument("--pipelined", action="store_true", help="one-frame-lagged latency-hiding tracking")
     r.set_defaults(fn=cmd_run)
 
     m = sub.add_parser("make-synthetic", help="write a synthetic dataset")
