@@ -108,7 +108,15 @@ int32_t ms_add_observation(void* h, int32_t lid, int32_t kid, int32_t slot) {
   int32_t* slots = s.obs_slot_row(lid);
   int free_i = -1;
   for (int i = 0; i < MAX_OBS; ++i) {
-    if (kfs[i] == kid) { slots[i] = slot; s.kf_row(kid)[slot] = lid; return 1; }
+    if (kfs[i] == kid) {
+      // re-bind to a new slot: clear the stale previous-slot entry first
+      int32_t prev = slots[i];
+      if (prev >= 0 && prev != slot && s.kf_row(kid)[prev] == lid)
+        s.kf_row(kid)[prev] = -1;
+      slots[i] = slot;
+      s.kf_row(kid)[slot] = lid;
+      return 1;
+    }
     if (kfs[i] < 0 && free_i < 0) free_i = i;
   }
   if (free_i < 0) return 0;  // observation list full
@@ -170,7 +178,11 @@ void ms_replace(void* h, int32_t old_id, int32_t new_id) {
     for (int j = 0; j < MAX_OBS; ++j)
       if (nkfs[j] == kid) { has = true; break; }
     if (!has) {
-      ms_add_observation(h, new_id, kid, slot);
+      // on failure (new_id's observation list full) the keyframe slot must
+      // not keep pointing at the dying old_id
+      if (!ms_add_observation(h, new_id, kid, slot) && slot >= 0 &&
+          s.kf_row(kid)[slot] == old_id)
+        s.kf_row(kid)[slot] = -1;
     } else if (slot >= 0 && s.kf_row(kid)[slot] == old_id) {
       s.kf_row(kid)[slot] = -1;
     }

@@ -147,3 +147,37 @@ def test_randomized_parity_with_python_store(rng):
         py = smap.covis[k]
         kids, counts = nat.covisibility(k)
         assert dict(zip(kids.tolist(), counts.tolist())) == py, k
+
+
+def test_replace_overflow_clears_stale_slot():
+    """When new_id's observation list is full, ms_replace must still clear
+    the keyframe slot that pointed at the dying old_id (ADVICE r1)."""
+    s = NativeMapStore(line_capacity=128, kf_capacity=64, feat_capacity=8)
+    for k in range(40):
+        s.add_keyframe(k)
+    new = s.allocate(0)
+    # fill new's observation list to MAX_OBS (32)
+    for k in range(32):
+        assert s.add_observation(new, k, 1)
+    old = s.allocate(33)
+    assert s.add_observation(old, 33, 2)
+    s.replace(old, new)
+    assert not s.alive(old)
+    # overflow: new couldn't absorb kf33's observation, but the slot must
+    # not keep pointing at the dead old id
+    assert s.line_ids(33)[2] == -1
+    # reallocating must not alias into kf33's stale slot
+    fresh = s.allocate(34)
+    assert s.line_ids(33)[2] == -1 and fresh >= 0
+
+
+def test_add_observation_rebind_clears_previous_slot():
+    s = NativeMapStore(line_capacity=16, kf_capacity=4, feat_capacity=8)
+    s.add_keyframe(0)
+    a = s.allocate(0)
+    assert s.add_observation(a, 0, 2)
+    # re-bind the same (landmark, keyframe) pair to a different slot
+    assert s.add_observation(a, 0, 5)
+    ids = s.line_ids(0)
+    assert ids[5] == a and ids[2] == -1
+    assert s.n_obs(a) == 1

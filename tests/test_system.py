@@ -61,9 +61,8 @@ class TestSystemAPI:
         sys2 = System(CAM, sensor="stereo", loop_closing=False)
         sys2.load_map(p)
         assert len(sys2.map.lines.live_ids()) == n_lines
-        # rebuild the relocalization database from loaded keyframes
-        for kid in sys2.map.all_keyframe_ids():
-            sys2.kf_db.add(sys2.map.keyframes[kid])
+        # load_map must rebuild the relocalization database itself
+        assert len(sys2.kf_db) == len(sys2.map.keyframes)
         # force LOST state with a known map -> must relocalize on a frame
         # from the mapped region
         sys2.tracker.state = TrackingState.LOST

@@ -38,14 +38,16 @@ from tpuslam.slammap.map import KeyFrame, SlamMap
 def _db_scores(
     cur_bits: jnp.ndarray,  # (K, W)
     cur_valid: jnp.ndarray,  # (K,)
-    db_bits: jnp.ndarray,  # (N, K, W)
-    db_valid: jnp.ndarray,  # (N, K)
+    db_bits: jnp.ndarray,  # (N, K, W) — N is a fixed capacity bucket
+    db_valid: jnp.ndarray,  # (N, K) f32 — all-zero rows are empty slots
     tau: float = 60.0,
     chunk: int = 32,
 ):
     """Per-keyframe similarity: count of current descriptors whose nearest
     neighbor in that keyframe is within Hamming tau. One MXU matmul per
-    chunk of keyframes; (N,) int32 scores."""
+    chunk of keyframes; (N,) int32 scores. Callers pass device-resident
+    capacity-padded arrays (capacity is a power of two), so this compiles
+    once per capacity bucket — never per keyframe insertion."""
     N, K, W = db_bits.shape
     pad = (-N) % chunk
     db_bits = jnp.concatenate([db_bits, jnp.zeros((pad, K, W), db_bits.dtype)])
@@ -75,39 +77,88 @@ def _db_scores(
     return scores.reshape(-1)[:N].astype(jnp.int32)
 
 
-class KeyFrameDatabase:
-    """Inverted-file replacement: stacked per-KF binary descriptors, scored
-    densely on the MXU (SURVEY §2 'KeyFrameDatabase')."""
+@jax.jit
+def _db_set_row(db_bits, db_valid, row_bits, row_valid, idx):
+    db_bits = jax.lax.dynamic_update_slice(db_bits, row_bits[None], (idx, 0, 0))
+    db_valid = jax.lax.dynamic_update_slice(db_valid, row_valid[None], (idx, 0))
+    return db_bits, db_valid
 
-    def __init__(self, capacity_hint: int = 256):
-        self.kids: List[int] = []
-        self._bits: List[np.ndarray] = []
-        self._valid: List[np.ndarray] = []
+
+@jax.jit
+def _db_clear_row(db_valid, idx):
+    K = db_valid.shape[1]
+    return jax.lax.dynamic_update_slice(db_valid, jnp.zeros((1, K), db_valid.dtype), (idx, 0))
+
+
+class KeyFrameDatabase:
+    """Inverted-file replacement: device-resident per-KF binary descriptors,
+    scored densely on the MXU (SURVEY §2 'KeyFrameDatabase').
+
+    Storage is a fixed-capacity device array that doubles when full, so every
+    program here compiles once per capacity bucket (log2 buckets total) — no
+    per-keyframe recompiles and no per-query host->device re-upload of the
+    whole database."""
+
+    def __init__(self, capacity_hint: int = 64):
+        self._cap0 = max(8, int(capacity_hint))
+        self.clear()
+
+    def clear(self):
+        self.kids: List[Optional[int]] = []  # row -> kid; None = tombstone
+        self._bits_dev = None  # (C, K, W) uint32 on device
+        self._valid_dev = None  # (C, K) f32 on device
+
+    def __len__(self):
+        return sum(1 for k in self.kids if k is not None)
+
+    def _ensure_capacity(self, K: int, W: int, bits_dtype):
+        n = len(self.kids)
+        if self._bits_dev is None:
+            C = self._cap0
+            self._bits_dev = jnp.zeros((C, K, W), bits_dtype)
+            self._valid_dev = jnp.zeros((C, K), jnp.float32)
+        elif n >= self._bits_dev.shape[0]:
+            C = self._bits_dev.shape[0]
+            self._bits_dev = jnp.concatenate(
+                [self._bits_dev, jnp.zeros((C, K, W), self._bits_dev.dtype)]
+            )
+            self._valid_dev = jnp.concatenate(
+                [self._valid_dev, jnp.zeros((C, K), jnp.float32)]
+            )
 
     def add(self, kf: KeyFrame):
+        bits = np.asarray(kf.features.desc_bits)
+        valid = np.asarray(kf.features.valid, np.float32)
+        K, W = bits.shape
+        self._ensure_capacity(K, W, bits.dtype)
+        idx = len(self.kids)
         self.kids.append(kf.kid)
-        self._bits.append(np.asarray(kf.features.desc_bits))
-        self._valid.append(np.asarray(kf.features.valid, np.float32))
+        self._bits_dev, self._valid_dev = _db_set_row(
+            self._bits_dev,
+            self._valid_dev,
+            jnp.asarray(bits),
+            jnp.asarray(valid),
+            jnp.int32(idx),
+        )
 
     def remove(self, kid: int):
         if kid in self.kids:
             i = self.kids.index(kid)
-            del self.kids[i], self._bits[i], self._valid[i]
+            self.kids[i] = None
+            self._valid_dev = _db_clear_row(self._valid_dev, jnp.int32(i))
 
     def query_bits(self, bits: np.ndarray, valid: np.ndarray) -> Dict[int, int]:
-        if not self.kids:
+        if len(self) == 0:
             return {}
-        db_bits = jnp.asarray(np.stack(self._bits))
-        db_valid = jnp.asarray(np.stack(self._valid))
         scores = np.asarray(
             _db_scores(
                 jnp.asarray(np.asarray(bits)),
                 jnp.asarray(np.asarray(valid, np.float32)),
-                db_bits,
-                db_valid,
+                self._bits_dev,
+                self._valid_dev,
             )
         )
-        return dict(zip(self.kids, scores.tolist()))
+        return {k: int(scores[i]) for i, k in enumerate(self.kids) if k is not None}
 
     def query(self, kf: KeyFrame) -> Dict[int, int]:
         return self.query_bits(

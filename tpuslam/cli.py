@@ -74,6 +74,9 @@ def cmd_run(args):
     wall = time.perf_counter() - t0
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
+    # Resolve the in-flight pipelined frame BEFORE writing outputs so the
+    # saved trajectory/eval cover every frame.
+    sys_.shutdown()
     if args.plots:
         import os
 
@@ -111,7 +114,6 @@ def cmd_run(args):
         )
         summary["ate_rmse"] = ate.rmse
         summary["ate_n"] = ate.n
-    sys_.shutdown()
     print(json.dumps(summary, default=float))
 
 

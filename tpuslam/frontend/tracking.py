@@ -146,9 +146,7 @@ class Tracker:
             # relocalize + track this frame synchronously
             r = self._track_frame_sync(feats, timestamp, stereo, relocalize=True)
             self._pending = ("done", r)
-            return prev_result or FrameResult(
-                self.frame_idx, timestamp, self.T_cw.copy(), self.state
-            )
+            return prev_result  # None on the first call; callers skip it
 
         T_pred = (
             self.velocity @ self.last_T_cw if self.last_T_cw is not None else self.T_cw
@@ -172,9 +170,9 @@ class Tracker:
             self._local_ids.copy(),
             self._local_valid.copy(),
         )
-        return prev_result or FrameResult(
-            self.frame_idx, timestamp, self.T_cw.copy(), self.state
-        )
+        # Results lag one frame: the first pipelined call has nothing resolved
+        # yet and returns None (no placeholder rows in the trajectory).
+        return prev_result
 
     def _resolve_pending(self, pending) -> FrameResult:
         frame_idx, timestamp, feats, fine, stereo, local_ids, local_valid = pending

@@ -69,10 +69,15 @@ def settings_from_dict(d: Dict[str, Any]) -> Settings:
         min_length=float(d.get("LineExtractor.minLineLength", 15.0)),
         min_support=int(d.get("LineExtractor.minSupport", 20)),
     )
+    # Reference YAMLs use scaleFactor > 1 (per-level downscale divisor, e.g.
+    # 1.2); FrontendParams.scale is the < 1 multiplier. Accept both.
+    s = float(d.get("LineExtractor.scaleFactor", 0.8))
+    if s <= 0:
+        raise ValueError(f"LineExtractor.scaleFactor must be positive, got {s}")
     fe = FrontendParams(
         max_lines=int(d.get("LineExtractor.nFeatures", 256)),
         n_levels=int(d.get("LineExtractor.nLevels", 2)),
-        scale=float(d.get("LineExtractor.scaleFactor", 0.8)),
+        scale=1.0 / s if s > 1.0 else s,
         lsd=lsd,
     )
     tracker = TrackerConfig(frontend=fe)

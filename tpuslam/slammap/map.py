@@ -165,6 +165,9 @@ class SlamMap:
         # covisibility: kf id -> {other kf id: shared landmark count}
         self.covis: Dict[int, Dict[int, int]] = {}
         self.covis_threshold = 15
+        # callback(kid) invoked when a keyframe is culled (System hooks the
+        # keyframe database here so culled KFs leave the scoring set)
+        self.on_keyframe_erased = None
 
     # ---- keyframes ------------------------------------------------------
     def new_keyframe(
@@ -206,6 +209,8 @@ class SlamMap:
             self.keyframes[kf.parent].children.discard(kid)
         kf.is_bad = True
         del self.keyframes[kid]
+        if self.on_keyframe_erased is not None:
+            self.on_keyframe_erased(kid)
 
     # ---- covisibility ---------------------------------------------------
     def update_connections(self, kf: KeyFrame):

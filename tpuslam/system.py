@@ -93,6 +93,7 @@ class System:
 
         self.kf_db = KeyFrameDatabase()
         self.tracker.kf_db = self.kf_db  # relocalization path
+        self.map.on_keyframe_erased = self.kf_db.remove  # culled KFs leave the DB
         if loop_closing:
             from tpuslam.backend.loop_closing import LoopCloser
 
@@ -141,18 +142,20 @@ class System:
         r = self.tracker.track_stereo(img_left, img_right, timestamp)
         dt = time.perf_counter() - t0
         self.timer.add("track", dt)
-        self.trajectory.append(r)
-        self._log(r, dt)
-        return r.T_cw
+        if r is not None:  # pipelined mode resolves with a one-frame lag
+            self.trajectory.append(r)
+            self._log(r, dt)
+        return np.asarray(self.tracker.T_cw)
 
     def track_monocular(self, img, timestamp: float) -> np.ndarray:
         t0 = time.perf_counter()
         r = self.tracker.track_monocular(img, timestamp)
         dt = time.perf_counter() - t0
         self.timer.add("track", dt)
-        self.trajectory.append(r)
-        self._log(r, dt)
-        return r.T_cw
+        if r is not None:
+            self.trajectory.append(r)
+            self._log(r, dt)
+        return np.asarray(self.tracker.T_cw)
 
     def track_frame(self, images, timestamp: float) -> np.ndarray:
         """Generic TrackFrame entry (BASELINE north star API)."""
@@ -207,6 +210,12 @@ class System:
             self.mapper.map = self.map
         if self.loop_closer is not None:
             self.loop_closer.map = self.map
+        # Rebuild the keyframe database so relocalization (and loop detection)
+        # work against the loaded map — required for localization-only reuse.
+        self.kf_db.clear()
+        for kid in sorted(self.map.keyframes):
+            self.kf_db.add(self.map.keyframes[kid])
+        self.map.on_keyframe_erased = self.kf_db.remove
         self.tracker.invalidate_local_map()
 
     def timing_summary(self):
