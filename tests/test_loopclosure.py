@@ -87,8 +87,10 @@ class TestLoopMachinery:
         scene, smap, closer, kfs, true_poses = _build_drifted_loop()
         kf_last = kfs[-1][0]
         kf0 = kfs[0][0]
-        T_corr = closer._compute_se3(kf_last, kf0)
-        assert T_corr is not None
+        res = closer._compute_se3(kf_last, kf0)
+        assert res is not None
+        s_corr, T_corr = res
+        assert abs(s_corr - 1.0) < 1e-6  # stereo: rigid
         # corrected pose of the last KF should be ~ its true pose... the
         # camera returned to the frame-0 viewpoint region; ground truth:
         T_true_last = true_poses[kf_last.frame_idx]

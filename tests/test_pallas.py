@@ -33,3 +33,48 @@ class TestPallasBlur:
         r = 3
         assert np.allclose(a[r:-r, r:-r], b[r:-r, r:-r], atol=1e-5)
         assert np.abs(a - b).max() < 0.1
+
+
+class TestPallasCCL:
+    def test_matches_xla_propagation(self, rng):
+        """Pallas CCL propagation == XLA scan twin on a synthetic compat
+        field (identical labels and max-labels after R rounds)."""
+        import jax.numpy as jnp
+
+        from tpuslam.kernels.lsd import _ccl_xla
+        from tpuslam.kernels.pallas_ccl import ccl_propagate_pallas
+
+        H, W = 48, 128
+        N = H * W
+        support = rng.random((H, W)) < 0.3
+        support[0, :] = support[-1, :] = support[:, 0] = support[:, -1] = False
+        # random but symmetric-ish compat bits gated on support
+        cb = np.zeros((H, W), np.int32)
+        offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+        for d, (dy, dx) in enumerate(offs):
+            ok = support & np.roll(support, (dy, dx), (0, 1)) & (rng.random((H, W)) < 0.8)
+            cb |= ok.astype(np.int32) << d
+        idx = np.arange(N, dtype=np.int32).reshape(H, W)
+        lab0 = np.where(support, idx, N).astype(np.int32)
+        mx0 = np.where(support, idx, -1).astype(np.int32)
+        la, ma = _ccl_xla(jnp.asarray(lab0), jnp.asarray(mx0), jnp.asarray(cb), 12)
+        lb, mb = ccl_propagate_pallas(
+            jnp.asarray(lab0), jnp.asarray(mx0), jnp.asarray(cb), 12, interpret=True
+        )
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+        assert np.array_equal(np.asarray(ma), np.asarray(mb))
+
+    def test_detect_lines_pallas_path_matches_xla(self, rng):
+        """Full detect_lines with ccl='pallas' (interpret) == ccl='xla'."""
+        import jax.numpy as jnp
+
+        from tpuslam.io.synthetic import make_wireframe_scene, render_wireframe_image
+        from tpuslam.kernels.lsd import LSDParams, detect_lines
+
+        scene = make_wireframe_scene(rng, n_segments=30, n_frames=1)
+        img = render_wireframe_image(scene, 0, rng=rng).astype(np.float32) / 255.0
+        img = img[:128, :256]
+        a = detect_lines(jnp.asarray(img), 64, LSDParams(ccl="xla"))
+        b = detect_lines(jnp.asarray(img), 64, LSDParams(ccl="pallas"))
+        assert np.array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        assert np.allclose(np.asarray(a.endpoints), np.asarray(b.endpoints), atol=1e-3)

@@ -52,6 +52,10 @@ class TestMultiSequenceTracking:
         from tpuslam.io.synthetic import make_wireframe_scene, synthetic_frame_features
         from tpuslam.parallel.multi_seq import MultiTracker
 
+        import jax.numpy as jnp
+
+        from tpuslam.parallel import multi_seq as ms
+
         N, F = 4, 8
         scenes = [
             make_wireframe_scene(
@@ -65,16 +69,35 @@ class TestMultiSequenceTracking:
             tr.on_new_keyframe = m.process
             m.on_map_changed = tr.invalidate_local_map
 
-        # geometric features bypass the detector: drive the per-sequence
-        # trackers directly on batched synthetic features
-        for f in range(F):
-            for s, tr in enumerate(mt.trackers):
-                feats, _ = synthetic_frame_features(
-                    scenes[s], f, noise_px=0.3, rng=np.random.default_rng(f * 31 + s), with_depth=True
-                )
-                tr.frame_idx = f
-                r = tr._track(feats, f * 0.05, stereo=True)
-            assert r.state == TrackingState.OK
+        # count batched-track dispatches: steady-state frames must be ONE
+        # batched call for all sequences, not N per-sequence programs
+        calls = {"batched": 0}
+        real = ms.batched_track_step
+
+        def counting(*a, **k):
+            calls["batched"] += 1
+            return real(*a, **k)
+
+        ms.batched_track_step = counting
+        try:
+            # geometric features bypass the detector: feed batched synthetic
+            # features straight into the batched tracking stage
+            for f in range(F):
+                per_seq = [
+                    synthetic_frame_features(
+                        scenes[s], f, noise_px=0.3, rng=np.random.default_rng(f * 31 + s), with_depth=True
+                    )[0]
+                    for s in range(N)
+                ]
+                feats = jax.tree.map(lambda *xs: jnp.stack(xs), *per_seq)
+                results = mt.track_features(feats, [f * 0.05] * N)
+                if f > 0:
+                    assert all(r.state == TrackingState.OK for r in results)
+        finally:
+            ms.batched_track_step = real
+        # frame 0 initializes per-sequence (no batched call); every frame
+        # after that is exactly one batched dispatch
+        assert calls["batched"] == F - 1, calls
         for s, tr in enumerate(mt.trackers):
             est = tr.T_cw
             gt = scenes[s].poses[F - 1]

@@ -63,3 +63,47 @@ def test_blackout_then_relocalize():
     d_est = np.linalg.norm(np.diff(est, axis=0), axis=1)
     d_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1)
     assert np.allclose(d_est, d_gt, atol=0.05)
+
+
+def test_track_reference_keyframe_fallback(rng):
+    """A single bad motion-model frame must recover via the reference-KF
+    descriptor fallback WITHOUT entering LOST (SURVEY §4.2
+    TrackReferenceKeyFrame between motion-model failure and relocalization)."""
+    from tpuslam.backend.mapping import LocalMapper, MapperConfig
+    from tpuslam.frontend.tracking import Tracker, TrackerConfig, TrackingState
+    from tpuslam.io.synthetic import make_wireframe_scene, synthetic_frame_features
+    from tpuslam.slammap.map import SlamMap
+    from tpuslam.geometry import Intrinsics, se3_exp
+    import jax.numpy as jnp
+
+    cam = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0, width=640, height=480, baseline=0.11)
+    scene = make_wireframe_scene(rng, n_segments=140, n_frames=12, cam=cam, motion_scale=0.02)
+    smap = SlamMap()
+    tracker = Tracker(cam, smap, TrackerConfig())
+    mapper = LocalMapper(smap, cam, MapperConfig())
+    tracker.on_new_keyframe = mapper.process
+    mapper.on_map_changed = tracker.invalidate_local_map
+
+    for f in range(8):
+        feats, _ = synthetic_frame_features(scene, f, noise_px=0.3, rng=rng, with_depth=True)
+        tracker.frame_idx = f
+        r = tracker._track(feats, f * 0.05, stereo=True)
+        assert r.state == TrackingState.OK
+
+    # corrupt the motion model: predicted pose lands the projection search
+    # far from every landmark (coarse radius is 50 px)
+    bad = np.asarray(se3_exp(jnp.asarray([1.5, -1.2, 0.8, 0.3, -0.2, 0.25], jnp.float32)))
+    tracker.velocity = bad.astype(np.float32)
+    feats, _ = synthetic_frame_features(scene, 8, noise_px=0.3, rng=rng, with_depth=True)
+    tracker.frame_idx = 8
+    r = tracker._track(feats, 0.4, stereo=True)
+    assert r.state == TrackingState.OK, "fallback should rescue the frame"
+    assert tracker.n_relocalizations == 0, "must not have needed relocalization"
+    # recovered pose close to ground truth
+    err = np.linalg.norm(np.linalg.inv(r.T_cw)[:3, 3] - np.linalg.inv(scene.poses[8])[:3, 3])
+    assert err < 0.1, err
+    # and the next ordinary frame keeps tracking
+    feats, _ = synthetic_frame_features(scene, 9, noise_px=0.3, rng=rng, with_depth=True)
+    tracker.frame_idx = 9
+    r = tracker._track(feats, 0.45, stereo=True)
+    assert r.state == TrackingState.OK

@@ -22,9 +22,12 @@ from tpuslam.slammap.map import SlamMap
 
 
 class GlobalBAConfig(NamedTuple):
-    pose_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256)
-    line_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
-    obs_buckets: Tuple[int, ...] = (1024, 2048, 4096, 8192, 16384)
+    # top bucket sized for KITTI-00-scale maps (~1400 KFs after culling);
+    # the Schur-reduced pose system at P=2048 is a 12288^2 dense solve —
+    # large but well within MXU budget for a per-loop-closure event
+    pose_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048)
+    line_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384)
+    obs_buckets: Tuple[int, ...] = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
     lm: LMConfig = LMConfig(max_iters=12)
 
 

@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
+import logging
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,6 +34,8 @@ from tpuslam.geometry.plucker import plucker_transform
 from tpuslam.geometry.se3 import se3_apply, se3_inverse
 from tpuslam.kernels.match import MatchParams, hamming_distance_mxu, match_descriptors
 from tpuslam.slammap.map import KeyFrame, SlamMap
+
+_log = logging.getLogger(__name__)
 
 
 @partial(jax.jit, static_argnums=(4, 5))
@@ -192,13 +196,16 @@ class LoopCloser:
         cam,
         cfg: LoopConfig = LoopConfig(),
         db: KeyFrameDatabase | None = None,
+        mono: bool = False,
     ):
         self.map = slam_map
         self.cam = cam
         self.cfg = cfg
         self.db = db or KeyFrameDatabase()
+        self.mono = mono  # mono loops carry scale drift -> Sim(3) correction
         self._consistent: List[int] = []  # recent candidate kids
         self.closed_loops: List[Tuple[int, int]] = []
+        self.gba_skipped: int = 0  # maps too large for the global-BA buckets
 
     # ---- per-keyframe entry --------------------------------------------
     def process(self, kf: KeyFrame) -> bool:
@@ -243,10 +250,12 @@ class LoopCloser:
             return None
         return best_kid
 
-    # ---- SE(3) computation ---------------------------------------------
-    def _compute_se3(self, kf: KeyFrame, cand: KeyFrame) -> Optional[np.ndarray]:
-        """T_corr: candidate-camera -> current-camera, from matched landmark
-        endpoint midpoints (RANSAC + rigid Umeyama)."""
+    # ---- SE(3)/Sim(3) computation ----------------------------------------
+    def _compute_se3(self, kf: KeyFrame, cand: KeyFrame) -> Optional[Tuple[float, np.ndarray]]:
+        """(s, T_corr): candidate-camera -> current-camera, from matched
+        landmark endpoint midpoints (RANSAC + Umeyama). Stereo estimates a
+        rigid transform (s = 1); mono estimates a similarity (SURVEY §4.4
+        'mono: Sim3') because the two loop ends disagree in scale."""
         st = self.map.lines
         va = (np.asarray(kf.features.valid) > 0.5) & (kf.line_ids >= 0)
         vb = (np.asarray(cand.features.valid) > 0.5) & (cand.line_ids >= 0)
@@ -277,44 +286,48 @@ class LoopCloser:
         rng = np.random.default_rng(kf.kid)
         best_inl, best_T = 0, None
         n = len(A)
+        with_scale = self.mono
         for _ in range(self.cfg.ransac_iters):
             idx = rng.choice(n, size=3, replace=False)
             try:
-                s, R, t = align_umeyama(A[idx], B[idx])
+                s, R, t = align_umeyama(A[idx], B[idx], with_scale=with_scale)
             except np.linalg.LinAlgError:
                 continue
-            err = np.linalg.norm((R @ A.T).T + t - B, axis=1)
+            err = np.linalg.norm(s * (R @ A.T).T + t - B, axis=1)
             inl = err < self.cfg.ransac_inlier_m
             if inl.sum() > best_inl:
                 best_inl = int(inl.sum())
                 best_T = inl
         if best_T is None or best_inl < self.cfg.min_inliers:
             return None
-        s, R, t = align_umeyama(A[best_T], B[best_T])
+        s, R, t = align_umeyama(A[best_T], B[best_T], with_scale=with_scale)
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
-        return T
+        return float(s), T
 
     # ---- correction -----------------------------------------------------
     def _close(self, kf: KeyFrame, cand_kid: int) -> bool:
         cand = self.map.keyframes.get(cand_kid)
         if cand is None:
             return False
-        T_corr = self._compute_se3(kf, cand)
-        if T_corr is None:
+        res = self._compute_se3(kf, cand)
+        if res is None:
             return False
+        s_corr, T_corr = res
 
         kids = self.map.all_keyframe_ids()
         pos = {k: i for i, k in enumerate(kids)}
         old_poses = {k: self.map.keyframes[k].T_cw.copy() for k in kids}
 
-        # corrected current pose: T_cw_new = T_corr @ T_cand_cw ... loop says
-        # current camera coords = T_corr @ candidate camera coords; landmarks
-        # seen from cand at its (trusted) pose project into kf at
-        # T_cw_new = T_corr^-1 ... derive: X_cur_cam = T_corr X_cand_cam with
-        # X_cand_cam = T_cand_cw X_w  =>  T_cw_new(kf) = T_corr @ T_cand_cw
-        T_kf_new = (T_corr @ cand.T_cw).astype(np.float32)
+        # corrected current pose: current camera coords = S_corr @ candidate
+        # camera coords with X_cand_cam = T_cand_cw X_w, so
+        # S_cw_new(kf) = S_corr @ T_cand_cw. For stereo s_corr == 1 and this
+        # is rigid; for mono it is a similarity absorbing the scale drift.
+        S_corr = np.eye(4, dtype=np.float32)
+        S_corr[:3, :3] = np.float32(s_corr) * T_corr[:3, :3]
+        S_corr[:3, 3] = T_corr[:3, 3]
+        T_kf_new = (S_corr @ cand.T_cw).astype(np.float32)
 
         # ---- essential graph --------------------------------------------
         E = []
@@ -349,27 +362,50 @@ class LoopCloser:
         pose_free[pos[cand_kid]] = 0.0  # trust the loop side
         pose_free[pos[kids[0]]] = 0.0  # gauge
 
-        prob = PoseGraphProblem(
-            poses=jnp.asarray(poses0),
-            pose_free=jnp.asarray(pose_free),
-            e_i=jnp.asarray([e[0] for e in E], jnp.int32),
-            e_j=jnp.asarray([e[1] for e in E], jnp.int32),
-            e_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
-            e_valid=jnp.ones(len(E), jnp.float32),
-            e_weight=jnp.asarray(weights, jnp.float32),
-        )
-        new_poses, _ = optimize_pose_graph(prob, self.cfg.pg)
-        new_poses = np.asarray(new_poses)
+        if self.mono:
+            # Sim(3) essential graph: tree/covis edges are scale-1
+            # similarities of the old poses; the loop edge carries s_corr.
+            from tpuslam.backend.pose_graph import Sim3GraphProblem, optimize_pose_graph_sim3
+            from tpuslam.geometry.sim3 import se3_from_sim3
 
-        # ---- write back + landmark correction ---------------------------
+            prob = Sim3GraphProblem(
+                sims=jnp.asarray(poses0),
+                pose_free=jnp.asarray(pose_free),
+                e_i=jnp.asarray([e[0] for e in E], jnp.int32),
+                e_j=jnp.asarray([e[1] for e in E], jnp.int32),
+                e_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
+                e_valid=jnp.ones(len(E), jnp.float32),
+                e_weight=jnp.asarray(weights, jnp.float32),
+            )
+            new_sims, _ = optimize_pose_graph_sim3(prob, self.cfg.pg)
+            new_sims = np.asarray(new_sims)
+            new_se3 = np.asarray(jax.vmap(se3_from_sim3)(jnp.asarray(new_sims)))
+        else:
+            prob = PoseGraphProblem(
+                poses=jnp.asarray(poses0),
+                pose_free=jnp.asarray(pose_free),
+                e_i=jnp.asarray([e[0] for e in E], jnp.int32),
+                e_j=jnp.asarray([e[1] for e in E], jnp.int32),
+                e_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
+                e_valid=jnp.ones(len(E), jnp.float32),
+                e_weight=jnp.asarray(weights, jnp.float32),
+            )
+            new_sims, _ = optimize_pose_graph(prob, self.cfg.pg)
+            new_sims = np.asarray(new_sims)
+            new_se3 = new_sims
+
+        # ---- write back + landmark correction (host numpy, batched) ------
+        # corrections are world_old -> world_new similarities (rigid when
+        # stereo): C_k = S_new_k^-1 @ S_old_k.
         corrections = {}
         for kid in kids:
-            T_old = old_poses[kid]
-            T_new = new_poses[pos[kid]]
-            self.map.keyframes[kid].T_cw = T_new.astype(np.float32)
-            corrections[kid] = np.linalg.inv(T_new) @ T_old  # world_old -> world_new
+            self.map.keyframes[kid].T_cw = new_se3[pos[kid]].astype(np.float32)
+            corrections[kid] = (
+                np.linalg.inv(new_sims[pos[kid]]) @ old_poses[kid]
+            ).astype(np.float32)
 
         st = self.map.lines
+        lids, refs = [], []
         for lid in st.live_ids():
             ref = int(st.first_kf[lid])
             if ref not in corrections:
@@ -377,11 +413,23 @@ class LoopCloser:
                 if obs_k is None or obs_k not in corrections:
                     continue
                 ref = obs_k
-            C = corrections[ref].astype(np.float32)
-            st.endpoints[lid] = st.endpoints[lid] @ C[:3, :3].T + C[:3, 3]
-            st.plucker[lid] = np.asarray(
-                plucker_transform(jnp.asarray(C), jnp.asarray(st.plucker[lid]))
-            )
+            lids.append(int(lid))
+            refs.append(ref)
+        if lids:
+            lids_a = np.asarray(lids)
+            C = np.stack([corrections[r] for r in refs])  # (M, 4, 4) similarities
+            # endpoints: p' = (sR) p + t — the 4x4 acts directly
+            ep = st.endpoints[lids_a]  # (M, 2, 3)
+            st.endpoints[lids_a] = np.einsum("mij,mkj->mki", C[:, :3, :3], ep) + C[:, None, :3, 3]
+            # Pluecker under a similarity (s, R, t): v' = R v,
+            # n' = s R n + t x R v (see geometry/sim3.plucker_transform_sim3)
+            sC = np.cbrt(np.maximum(np.linalg.det(C[:, :3, :3]), 1e-12))
+            Rc = C[:, :3, :3] / sC[:, None, None]
+            L = st.plucker[lids_a]
+            Rv = np.einsum("mij,mj->mi", Rc, L[:, 3:])
+            Rn = np.einsum("mij,mj->mi", Rc, L[:, :3])
+            n_new = sC[:, None] * Rn + np.cross(C[:, :3, 3], Rv)
+            st.plucker[lids_a] = np.concatenate([n_new, Rv], axis=-1)
 
         kf.loop_edges.add(cand_kid)
         cand.loop_edges.add(kf.kid)
@@ -394,6 +442,10 @@ class LoopCloser:
 
             try:
                 global_bundle_adjustment(self.map, self.cam)
-            except ValueError:
-                pass  # map exceeds the largest bucket; pose graph already ran
+            except ValueError as e:
+                # Map exceeds the largest BA bucket: the essential graph has
+                # already corrected the trajectory; record + log the skip
+                # instead of degrading silently.
+                self.gba_skipped += 1
+                _log.warning("global BA skipped after loop closure: %s", e)
         return True

@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tpuslam.geometry.camera import Distortion, Intrinsics, undistort_pixels
 from tpuslam.kernels.image import build_pyramid, image_gradients
 from tpuslam.kernels.lbd import LBDParams, lbd_descriptors
 from tpuslam.kernels.lsd import DetectedLines, LSDParams, detect_lines
@@ -38,6 +39,24 @@ class FrontendParams(NamedTuple):
     scale: float = 0.8
     lsd: LSDParams = LSDParams()
     lbd: LBDParams = LBDParams()
+    # radtan distortion (TUM fr1/fr2, raw EuRoC): detection/description run
+    # on the DISTORTED image (remap-free TPU path); segment geometry is then
+    # undistorted analytically. `cam` must be set when dist is nonzero.
+    # Stereo association still assumes rectified inputs (as the reference's
+    # stereo pipelines do).
+    dist: Distortion = Distortion()
+    cam: Intrinsics | None = None
+
+
+def _undistort_feature_geometry(feats: "FrameFeatures", cam: Intrinsics, dist: Distortion):
+    ep = undistort_pixels(cam, dist, feats.endpoints)  # (K, 2, 2)
+    d = ep[:, 1] - ep[:, 0]
+    return feats._replace(
+        endpoints=ep,
+        midpoint=0.5 * (ep[:, 0] + ep[:, 1]),
+        angle=jnp.arctan2(d[:, 1], d[:, 0]),
+        length=jnp.linalg.norm(d, axis=-1),
+    )
 
 
 class FrameFeatures(NamedTuple):
@@ -127,7 +146,12 @@ def _fused_extract(img, params: FrontendParams) -> FrameFeatures:
         det: DetectedLines = detect_lines.__wrapped__(lim, params.max_lines, params.lsd)
         desc, bits = _lbd_stage.__wrapped__(lim, det.endpoints, params.lbd)
         per_level.append((det, desc, bits))
-    return _merge_levels.__wrapped__(tuple(per_level), params)
+    feats = _merge_levels.__wrapped__(tuple(per_level), params)
+    if not params.dist.is_zero:
+        if params.cam is None:
+            raise ValueError("FrontendParams.cam required when distortion is set")
+        feats = _undistort_feature_geometry(feats, params.cam, params.dist)
+    return feats
 
 
 def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()) -> FrameFeatures:
@@ -147,7 +171,14 @@ def extract_features(img: jnp.ndarray, params: FrontendParams = FrontendParams()
             det: DetectedLines = detect_lines(lim, params.max_lines, params.lsd)
             desc, bits = _lbd_stage(lim, det.endpoints, params.lbd)
             per_level.append((det, desc, bits))
-        return _merge_levels(tuple(per_level), params)
+        feats = _merge_levels(tuple(per_level), params)
+        if not params.dist.is_zero:
+            if params.cam is None:
+                raise ValueError("FrontendParams.cam required when distortion is set")
+            feats = jax.jit(_undistort_feature_geometry, static_argnums=(1, 2))(
+                feats, params.cam, params.dist
+            )
+        return feats
     return _fused_extract(img, params)
 
 

@@ -273,6 +273,17 @@ class Tracker:
         n_matches = int(fine.num_matched)
         n_inliers = int(fine.num_inliers)
 
+        if n_inliers < self.cfg.min_track_inliers:
+            # TrackReferenceKeyFrame fallback (SURVEY §4.2): one bad frame
+            # (blur, dropped frame, wrong motion model) should not cost a
+            # LOST -> relocalization round trip; try a descriptor-only match
+            # against the reference keyframe's window first.
+            alt = self._track_reference_keyframe(feats)
+            if alt is not None:
+                fine = alt
+                n_matches = int(fine.num_matched)
+                n_inliers = int(fine.num_inliers)
+
         if n_inliers >= self.cfg.min_track_inliers:
             self.state = TrackingState.OK
             new_T = np.asarray(fine.pose)
@@ -419,6 +430,46 @@ class Tracker:
             lid = self.map.lines.allocate(plucker[slot], ep3d[slot], bits[slot], kf.kid)
             self.map.lines.add_observation(lid, kf, int(slot))
 
+    # ---- reference-keyframe fallback -------------------------------------
+    def _track_reference_keyframe(self, feats: FrameFeatures):
+        """SURVEY §4.2 TrackReferenceKeyFrame(): descriptor matching (no
+        projection gate) against the reference keyframe's local window,
+        pose-LM seeded from the LAST pose instead of the failed motion-model
+        prediction. Returns a TrackStepResult on success, else None."""
+        if self.ref_kf is None or self.ref_kf not in self.map.keyframes:
+            return None
+        st = self.map.lines
+        _, lids = self.map.local_window(self.ref_kf, 5)
+        lids = [l for l in lids if st.alive[l]][: self.cfg.local_capacity]
+        if len(lids) < self.cfg.min_track_inliers:
+            return None
+        NL = self.cfg.local_capacity
+        ids = np.zeros(NL, np.int32)
+        ids[: len(lids)] = lids
+        valid = np.zeros(NL, np.float32)
+        valid[: len(lids)] = 1.0
+        T0 = self.last_T_cw if self.last_T_cw is not None else self.T_cw
+        res: TrackStepResult = tracked_pose_step(
+            jnp.asarray(T0),
+            jnp.asarray(st.plucker[ids]),
+            jnp.asarray(st.endpoints[ids]),
+            jnp.asarray(st.desc_bits[ids]),
+            jnp.asarray(valid),
+            feats,
+            self.cam,
+            self.cfg.search_coarse._replace(radius=1e6),  # descriptor-only
+            self.cfg.pose_opt,
+        )
+        if int(res.num_inliers) < self.cfg.min_track_inliers:
+            return None
+        # keyframe creation binds landmarks through (_local_ids, match_idx);
+        # the fallback matched against the ref window, so swap the mapping in
+        # (the cache is marked dirty and rebuilt next frame).
+        self._local_ids = ids
+        self._local_valid = valid > 0.5
+        self._local_dirty = True
+        return res
+
     # ---- relocalization -------------------------------------------------
     def _relocalize(self, feats: FrameFeatures):
         """SURVEY §4.2 Relocalization(): keyframe-database query + descriptor
@@ -463,12 +514,76 @@ class Tracker:
                 self.state = TrackingState.OK
                 self._local_dirty = True
                 return np.asarray(res.pose)
+            # DLT-Lines reseed (SURVEY §5, [P:9]): the descriptor matches are
+            # pose-independent, but LM seeded at a distant candidate pose can
+            # diverge. The linear initialization-free solve recovers a pose
+            # from the matches themselves; LM then re-gates from there.
+            res2 = self._relocalize_dlt(feats, res, ids, valid)
+            if res2 is not None and int(res2.num_inliers) >= self.cfg.min_track_inliers:
+                self.ref_kf = kid
+                self.n_relocalizations += 1
+                self.state = TrackingState.OK
+                self._local_dirty = True
+                return np.asarray(res2.pose)
         return None
+
+    def _relocalize_dlt(self, feats: FrameFeatures, res: TrackStepResult, ids, valid):
+        from tpuslam.backend.dlt import dlt_lines_pose
+        from tpuslam.kernels.match import match_descriptors
+
+        st = self.map.lines
+        # pose-FREE descriptor matching: the candidate pose may be arbitrarily
+        # wrong (that is why we are here), and the projection search's
+        # frustum gate would zero every match under it
+        m = match_descriptors(
+            jnp.asarray(st.desc_bits[ids]),
+            jnp.asarray(valid),
+            feats.desc_bits,
+            feats.valid,
+            self.cfg.search_coarse.match,
+        )
+        midx = np.asarray(m.idx)
+        mvalid = (np.asarray(m.valid) > 0.5) & (midx >= 0) & (valid > 0.5)
+        if int(mvalid.sum()) < 8:
+            return None
+        # image-line coefficients of the matched frame segments (host numpy)
+        ep = np.asarray(feats.endpoints)  # (K, 2, 2)
+        p0 = np.concatenate([ep[:, 0], np.ones((ep.shape[0], 1), np.float32)], -1)
+        p1 = np.concatenate([ep[:, 1], np.ones((ep.shape[0], 1), np.float32)], -1)
+        l2d_all = np.cross(p0, p1).astype(np.float32)  # (K, 3)
+        l2d = l2d_all[np.maximum(midx, 0)]  # (NL, 3) per map slot
+        T_dlt, ok = dlt_lines_pose(
+            jnp.asarray(l2d),
+            jnp.asarray(st.endpoints[ids]),
+            jnp.asarray(mvalid.astype(np.float32)),
+            self.cam,
+        )
+        if float(ok) < 0.5:
+            return None
+        return tracked_pose_step(
+            T_dlt,
+            jnp.asarray(st.plucker[ids]),
+            jnp.asarray(st.endpoints[ids]),
+            jnp.asarray(st.desc_bits[ids]),
+            jnp.asarray(valid),
+            feats,
+            self.cam,
+            self.cfg.search_coarse,
+            self.cfg.pose_opt,
+        )
 
     # ---- local map cache ------------------------------------------------
     def invalidate_local_map(self):
         """Call after mapping/BA mutates landmark geometry."""
         self._local_dirty = True
+
+    def adopt_pose(self, T_cw: np.ndarray):
+        """Reset the motion-model chain onto an externally corrected pose
+        (loop closure rewrites keyframe poses; predicting from the stale
+        pre-correction chain would throw the next projection search)."""
+        self.T_cw = np.asarray(T_cw, np.float32).copy()
+        self.last_T_cw = self.T_cw.copy()
+        self.velocity = np.eye(4, dtype=np.float32)
 
     def _local_map_arrays(self):
         if not self._local_dirty and hasattr(self, "_local_dev"):

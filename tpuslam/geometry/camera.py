@@ -85,3 +85,56 @@ def point_line_distance(l: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     num = l[..., 0] * uv[..., 0] + l[..., 1] * uv[..., 1] + l[..., 2]
     den = jnp.sqrt(l[..., 0] ** 2 + l[..., 1] ** 2)
     return num / jnp.maximum(den, _EPS)
+
+
+class Distortion(NamedTuple):
+    """Radial-tangential (OpenCV 'radtan') distortion coefficients.
+
+    The reference's per-dataset YAMLs carry Camera.k1/k2/p1/p2; rectified
+    stereo pipelines have zeros, TUM fr1/fr2 and raw EuRoC do not."""
+
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+
+    @property
+    def is_zero(self) -> bool:
+        return self.k1 == 0.0 and self.k2 == 0.0 and self.p1 == 0.0 and self.p2 == 0.0
+
+
+def _distort_normalized(dist: Distortion, x, y):
+    r2 = x * x + y * y
+    radial = 1.0 + dist.k1 * r2 + dist.k2 * r2 * r2
+    xd = x * radial + 2.0 * dist.p1 * x * y + dist.p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + dist.p1 * (r2 + 2.0 * y * y) + 2.0 * dist.p2 * x * y
+    return xd, yd
+
+
+def undistort_pixels(
+    cam: Intrinsics, dist: Distortion, uv: jnp.ndarray, iters: int = 8
+) -> jnp.ndarray:
+    """(..., 2) DISTORTED pixels -> (..., 2) undistorted (ideal pinhole)
+    pixels, by the standard fixed-point inversion of the radtan model
+    (OpenCV undistortPoints iteration). Fully vectorized, no gathers —
+    feature-level undistortion keeps the TPU image path remap-free."""
+    xd = (uv[..., 0] - cam.cx) / cam.fx
+    yd = (uv[..., 1] - cam.cy) / cam.fy
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + dist.k1 * r2 + dist.k2 * r2 * r2
+        dx = 2.0 * dist.p1 * x * y + dist.p2 * (r2 + 2.0 * x * x)
+        dy = dist.p1 * (r2 + 2.0 * y * y) + 2.0 * dist.p2 * x * y
+        x = (xd - dx) / jnp.maximum(radial, 1e-6)
+        y = (yd - dy) / jnp.maximum(radial, 1e-6)
+    return jnp.stack([cam.fx * x + cam.cx, cam.fy * y + cam.cy], axis=-1)
+
+
+def distort_pixels(cam: Intrinsics, dist: Distortion, uv: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2) ideal pinhole pixels -> distorted pixels (forward model;
+    used by tests/synthetic rendering)."""
+    x = (uv[..., 0] - cam.cx) / cam.fx
+    y = (uv[..., 1] - cam.cy) / cam.fy
+    xd, yd = _distort_normalized(dist, x, y)
+    return jnp.stack([cam.fx * xd + cam.cx, cam.fy * yd + cam.cy], axis=-1)

@@ -74,11 +74,21 @@ def settings_from_dict(d: Dict[str, Any]) -> Settings:
     s = float(d.get("LineExtractor.scaleFactor", 0.8))
     if s <= 0:
         raise ValueError(f"LineExtractor.scaleFactor must be positive, got {s}")
+    from tpuslam.geometry.camera import Distortion
+
+    dist = Distortion(
+        k1=float(d.get("Camera.k1", 0.0)),
+        k2=float(d.get("Camera.k2", 0.0)),
+        p1=float(d.get("Camera.p1", 0.0)),
+        p2=float(d.get("Camera.p2", 0.0)),
+    )
     fe = FrontendParams(
         max_lines=int(d.get("LineExtractor.nFeatures", 256)),
         n_levels=int(d.get("LineExtractor.nLevels", 2)),
         scale=1.0 / s if s > 1.0 else s,
         lsd=lsd,
+        dist=dist,
+        cam=None if dist.is_zero else cam,
     )
     tracker = TrackerConfig(frontend=fe)
     return Settings(cam=cam, fps=float(d.get("Camera.fps", 30.0)), tracker=tracker, raw=d)

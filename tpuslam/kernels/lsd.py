@@ -9,19 +9,29 @@ moments, density validation — but grown via *connected-component labeling*:
 1. gradient magnitude + level-line angle per pixel (kernels/image.py)
 2. support mask: mag > rho
 3. connectivity: 8-neighbors whose level-line angles agree within tol
-4. labels = min-label flood: alternate 3x3 masked min-propagation with
-   pointer jumping (label <- label[label]), O(log max_segment_len) rounds —
-   the classic GPU/TPU connected-components scheme, all dense vector ops
-5. per-component weighted moments via jax.ops.segment_sum over flat labels;
-   principal direction from the 2x2 second-moment matrix (rectangle fit)
-6. endpoints from per-component min/max of the projection onto the principal
-   direction (segment_min/max)
+4. labels = min-label flood: R rounds of 3x3 masked min-propagation — PURE
+   dense vector ops, no pointer-jump gathers (random gathers scalarize to
+   ~12 ns/element on this backend, PERF_NOTES.md). A max-label channel is
+   propagated with the same masks; at a component root the (min,max) pixel
+   pair spans the component, giving a selection key without any per-label
+   reduction. Components longer than the propagation reach fragment; the
+   segment-level collinear merge re-joins them.
+5. top-K roots by spanned-diagonal length (a line-appropriate criterion),
+   via one top_k over the dense root-key image — no N-bin segment_sum
+   (a 307k-bin scatter costs ~45 ms on this backend; the compare-reduce
+   below costs ~2 ms)
+6. per-component weighted moments, extents along the principal direction,
+   and normal second moment via FUSED compare-reduce over the (K, N)
+   virtual one-hot (XLA fuses the label==root compare into the reductions;
+   nothing K x N ever hits HBM)
 7. validation: support count, length, density (count / (length * width)) —
    the a-contrario NFA test collapses to these geometric criteria here
    (detector differences are absorbed at trajectory level, SURVEY §9.4)
 
-Outputs fixed-capacity arrays: (K, 2, 2) endpoints + masks, top-K by support
-size. Oracle for tests: cv2.createLineSegmentDetector (SURVEY §6.2).
+Outputs fixed-capacity arrays: (K, 2, 2) endpoints + masks. Oracle for
+tests: cv2.createLineSegmentDetector (SURVEY §6.2). The propagation loop
+has a Pallas twin (kernels/pallas_ccl.py) that keeps all rounds VMEM-
+resident; `ccl="auto"` picks it on TPU backends.
 """
 
 from __future__ import annotations
@@ -44,11 +54,15 @@ class LSDParams(NamedTuple):
     min_density: float = 0.35  # support / (length * width)
     max_width: float = 8.0  # px, reject blobs (density is the main gate;
     # the Gaussian prefilter widens legitimate edge strips to ~2-5 px)
-    n_iters: int = 5  # (3 propagations + 1 jump) rounds; reach ~370 px
-    # (junction-split fragments beyond that merge in merge_collinear)
+    ccl_rounds: int = 64  # min/max-propagation rounds = base geodesic reach
+    ccl_jumps: int = 3  # pointer-jump rounds after propagation; each roughly
+    # doubles the converged reach (64 -> ~512 px); jumps are the only gathers
+    # in the detector and labels are spatially local, so they stay ~2 ms
     prefilter_sigma: float = 0.75  # LSD's 0.6/0.8 pre-smoothing (0 = off);
     # without it, anti-aliased near-axis lines fragment at stair-steps
     merge_fragments: bool = True  # collinear post-merge (junction splits)
+    ccl: str = "auto"  # 'auto' | 'pallas' | 'xla': propagation-loop backend
+    # (identical math; pallas keeps all rounds VMEM-resident on TPU)
 
 
 class DetectedLines(NamedTuple):
@@ -74,6 +88,36 @@ def _shift(x: jnp.ndarray, dy: int, dx: int):
     return jnp.roll(x, (dy, dx), axis=(0, 1))
 
 
+def _ccl_xla(labels: jnp.ndarray, maxlab: jnp.ndarray, compat_bits: jnp.ndarray, rounds: int):
+    """R rounds of masked min/max-label propagation (XLA scan twin of the
+    Pallas kernel; identical math, used on CPU and as fallback)."""
+    H, W = labels.shape
+    BIG = jnp.int32(H * W)
+
+    def body(carry, _):
+        lab, mx = carry
+        lm, mm = lab, mx
+        for d, (dy, dx) in enumerate(_OFFSETS):
+            ok = (compat_bits >> d) & 1
+            lm = jnp.minimum(lm, jnp.where(ok > 0, _shift(lab, dy, dx), BIG))
+            mm = jnp.maximum(mm, jnp.where(ok > 0, _shift(mx, dy, dx), jnp.int32(-1)))
+        return (lm, mm), None
+
+    (labels, maxlab), _ = jax.lax.scan(body, (labels, maxlab), None, length=rounds)
+    return labels, maxlab
+
+
+_OFFSETS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _use_pallas_ccl(params: LSDParams) -> bool:
+    if params.ccl == "pallas":
+        return True
+    if params.ccl == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSDParams()):
     """Detect line segments in an (H, W) grayscale f32 image in [0, 1].
@@ -82,6 +126,7 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     """
     H, W = img.shape
     N = H * W
+    K = max_lines
     if params.prefilter_sigma > 0:
         img = gaussian_blur(img, params.prefilter_sigma)
     gx, gy, mag, angle = image_gradients(img * 255.0)  # LSD thresholds on 0..255
@@ -89,132 +134,100 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     rho = params.quant / math.sin(params.angle_tol)
     support = mag > rho
 
-    # --- connected components by masked min-label propagation -------------
+    # --- neighbor compatibility as one bit-packed i32 plane ----------------
+    compat_bits = jnp.zeros((H, W), jnp.int32)
+    for d, (dy, dx) in enumerate(_OFFSETS):
+        ok = (
+            support
+            & _shift(support, dy, dx)
+            & _angle_close(angle, _shift(angle, dy, dx), params.angle_tol)
+        )
+        compat_bits = compat_bits | (ok.astype(jnp.int32) << d)
+
+    # --- connected components: min/max-label propagation + pointer jumps ---
     idx = jnp.arange(N, dtype=jnp.int32).reshape(H, W)
-    BIG = jnp.int32(N)  # sentinel for non-support
-    labels = jnp.where(support, idx, BIG)
+    BIG = jnp.int32(N)
+    labels0 = jnp.where(support, idx, BIG)
+    maxlab0 = jnp.where(support, idx, jnp.int32(-1))
+    if _use_pallas_ccl(params):
+        from tpuslam.kernels.pallas_ccl import ccl_propagate_pallas
 
-    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
-    # Pre-compute neighbor compatibility masks once (they don't change).
-    compat = [
-        support & _shift(support, dy, dx) & _angle_close(angle, _shift(angle, dy, dx), params.angle_tol)
-        for dy, dx in offsets
-    ]
-
-    def jump(lf):
-        """One pointer-jumping hop: label <- min(label, label-of-label).
-
-        The ONE random gather per round (N elements) — gathers scalarize on
-        this backend, so rounds use two cheap roll-propagations (dense VPU)
-        per jump; reach grows ~(r+2)*2 per round (PERF_NOTES.md).
-        """
-        lut = jnp.append(lf, BIG)  # slot N = sentinel
-        return jnp.minimum(lut[jnp.minimum(lf, N)], lf)
-
-    def propagate(labels):
+        labels, maxlab = ccl_propagate_pallas(labels0, maxlab0, compat_bits, params.ccl_rounds)
+    else:
+        labels, maxlab = _ccl_xla(labels0, maxlab0, compat_bits, params.ccl_rounds)
+    # Chain collapse: without jumps a component longer than the propagation
+    # reach is keyed by NON-ROOT interior window-minima, and those groups are
+    # invisible to root-based selection. Each jump composes the reach
+    # (~doubles it); the single propagate between jumps reconnects stragglers.
+    for _ in range(params.ccl_jumps):
+        lf = labels.reshape(-1)
+        lut = jnp.append(lf, BIG)
+        labels = jnp.minimum(lut[jnp.minimum(lf, N)], lf).reshape(H, W)
         m = labels
-        for (dy, dx), ok in zip(offsets, compat):
-            m = jnp.minimum(m, jnp.where(ok, _shift(labels, dy, dx), BIG))
-        return m
+        for d, (dy, dx) in enumerate(_OFFSETS):
+            ok = (compat_bits >> d) & 1
+            m = jnp.minimum(m, jnp.where(ok > 0, _shift(labels, dy, dx), BIG))
+        labels = m
 
-    def body(labels, _):
-        m = propagate(propagate(propagate(labels)))
-        return jump(m.reshape(-1)).reshape(H, W), None
+    flat_labels = labels.reshape(-1)  # BIG (=N) marks non-support
 
-    labels, _ = jax.lax.scan(body, labels, None, length=params.n_iters)
-
-    flat_labels = jnp.where(labels.reshape(-1) < BIG, labels.reshape(-1), N)
-
-    # --- per-component weighted moments (segment_sum over N+1 bins) -------
-    ys, xs = jnp.divmod(jnp.arange(N, dtype=jnp.int32), W)
-    xs = xs.astype(jnp.float32)
-    ys = ys.astype(jnp.float32)
-    w = jnp.where(support.reshape(-1), mag.reshape(-1), 0.0)
-
-    # single fused scatter: all 7 per-component moments in one segment_sum
-    moments = jnp.stack(
-        [
-            support.reshape(-1).astype(jnp.float32),
-            w,
-            w * xs,
-            w * ys,
-            w * xs * xs,
-            w * ys * ys,
-            w * xs * ys,
-        ],
-        axis=-1,
+    # --- top-K roots by spanned diagonal (no per-label reduction) ---------
+    ys_i, xs_i = jnp.divmod(jnp.arange(N, dtype=jnp.int32), W)
+    xs = xs_i.astype(jnp.float32)
+    ys = ys_i.astype(jnp.float32)
+    my, mx_ = jnp.divmod(jnp.maximum(maxlab.reshape(-1), 0), W)
+    span = jnp.hypot(
+        (mx_ - xs_i).astype(jnp.float32), (my - ys_i).astype(jnp.float32)
     )
-    sums = jax.ops.segment_sum(moments, flat_labels, N + 1)  # (N+1, 7)
-    count, sw, sx, sy, sxx, syy, sxy = [sums[:, i] for i in range(7)]
+    is_root = (flat_labels == jnp.arange(N, dtype=jnp.int32)) & support.reshape(-1)
+    key = jnp.where(is_root, span + 1.0, 0.0)
+    _, comp_ids = jax.lax.top_k(key, K)  # (K,) root pixel indices
 
-    # --- top-K components by support count --------------------------------
-    count = count.at[N].set(0.0)
-    resp, comp_ids = jax.lax.top_k(count, max_lines)  # (K,)
+    # --- per-component moments via fused compare-reduce -------------------
+    # eq is a virtual (K, N) one-hot; XLA fuses the compare into each
+    # reduction, so no K x N intermediate is materialized.
+    w = jnp.where(support.reshape(-1), mag.reshape(-1), 0.0)
+    eq = flat_labels[None, :] == comp_ids[:, None]  # (K, N) virtual
+    eqf = eq.astype(jnp.float32)
 
-    csw = jnp.maximum(sw[comp_ids], 1e-6)
-    cx = sx[comp_ids] / csw
-    cy = sy[comp_ids] / csw
-    # central second moments
-    mxx = sxx[comp_ids] / csw - cx * cx
-    myy = syy[comp_ids] / csw - cy * cy
-    mxy = sxy[comp_ids] / csw - cx * cy
+    def red(v):  # (N,) -> (K,)
+        return jnp.sum(eqf * v[None, :], axis=1)
+
+    count = red(support.reshape(-1).astype(jnp.float32))
+    csw = jnp.maximum(red(w), 1e-6)
+    cx = red(w * xs) / csw
+    cy = red(w * ys) / csw
+    mxx = red(w * xs * xs) / csw - cx * cx
+    myy = red(w * ys * ys) / csw - cy * cy
+    mxy = red(w * xs * ys) / csw - cx * cy
+    resp = count
+
     # principal direction of the 2x2 moment matrix (largest eigenvector)
     tr = mxx + myy
     det = mxx * myy - mxy * mxy
     lam1 = 0.5 * tr + jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
-    lam2 = tr - lam1
-    # eigenvector for lam1: (mxy, lam1 - mxx) or (lam1 - myy, mxy)
     e1 = jnp.stack([mxy, lam1 - mxx], axis=-1)
     e2 = jnp.stack([lam1 - myy, mxy], axis=-1)
     use_e1 = jnp.linalg.norm(e1, axis=-1) > jnp.linalg.norm(e2, axis=-1)
     ev = jnp.where(use_e1[:, None], e1, e2)
     ev = ev / jnp.maximum(jnp.linalg.norm(ev, axis=-1, keepdims=True), 1e-9)
 
-    # --- per-component extent along the principal direction ---------------
-    # gather per-pixel component slot: map each pixel's label to its slot in
-    # comp_ids (or K = invalid). Build inverse map label -> slot.
-    inv = jnp.full((N + 1,), max_lines, jnp.int32)
-    inv = inv.at[comp_ids].set(jnp.arange(max_lines, dtype=jnp.int32))
-    pix_slot = inv[flat_labels]  # (N,) slot in 0..K, K = not selected
-
-    # one vector gather instead of five scalar-table gathers
-    tbl = jnp.concatenate(
-        [
-            jnp.stack([ev[:, 0], ev[:, 1], cx, cy], axis=-1),
-            jnp.zeros((1, 4), jnp.float32),
-        ]
-    )  # (K+1, 4)
-    vals = tbl[pix_slot]  # (N, 4)
-    dirx, diry, ccx, ccy = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
-    t = (xs - ccx) * dirx + (ys - ccy) * diry
-    t = jnp.where(support.reshape(-1), t, 0.0)
-    tn = (xs - ccx) * (-diry) + (ys - ccy) * dirx  # normal offset
-
-    # one fused segment_min for both extents (max = -min of negated)
-    ext = jax.ops.segment_min(
-        jnp.stack(
-            [
-                jnp.where(support.reshape(-1), t, jnp.inf),
-                jnp.where(support.reshape(-1), -t, jnp.inf),
-            ],
-            axis=-1,
-        ),
-        pix_slot,
-        max_lines + 1,
-    )
-    t_min = ext[:max_lines, 0]
-    t_max = -ext[:max_lines, 1]
-    # robust width: sqrt of second moment normal to the line (std * 2*sqrt(3)
-    # equals full width for a uniform strip)
-    sn2 = jax.ops.segment_sum(
-        jnp.where(support.reshape(-1), w * tn * tn, 0.0), pix_slot, max_lines + 1
-    )[:max_lines]
+    # --- extents along the principal direction (same fused pattern) -------
+    relx = xs[None, :] - cx[:, None]  # (K, N) virtual
+    rely = ys[None, :] - cy[:, None]
+    t_kn = relx * ev[:, 0:1] + rely * ev[:, 1:2]
+    tn_kn = -relx * ev[:, 1:2] + rely * ev[:, 0:1]
+    pen = jnp.where(eq, 0.0, jnp.float32(1e9))
+    t_min = jnp.min(t_kn + pen, axis=1)
+    t_max = jnp.max(t_kn - pen, axis=1)
+    sn2 = jnp.sum(jnp.where(eq, w[None, :] * tn_kn * tn_kn, 0.0), axis=1)
     # weighted variance normal to the line; full width of a uniform strip is
     # sqrt(12 * var) = 2 * sqrt(3 * var)
     width = 2.0 * jnp.sqrt(3.0 * jnp.maximum(sn2 / csw, 1e-9))
 
-    t_min = jnp.where(jnp.isfinite(t_min), t_min, 0.0)
-    t_max = jnp.where(jnp.isfinite(t_max), t_max, 0.0)
+    empty = count < 0.5
+    t_min = jnp.where(empty, 0.0, t_min)
+    t_max = jnp.where(empty, 0.0, t_max)
     length = t_max - t_min
     p0 = jnp.stack([cx + t_min * ev[:, 0], cy + t_min * ev[:, 1]], axis=-1)
     p1 = jnp.stack([cx + t_max * ev[:, 0], cy + t_max * ev[:, 1]], axis=-1)

@@ -54,7 +54,7 @@ def batched_stereo(left: FrameFeatures, right: FrameFeatures, fxb: jnp.ndarray, 
     return jax.vmap(one)(left, right, fxb)
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def batched_track_step(
     T_pred: jnp.ndarray,  # (N, 4, 4)
     map_plucker: jnp.ndarray,  # (N, L, 6)
@@ -64,17 +64,31 @@ def batched_track_step(
     feats: FrameFeatures,  # batched
     cam: Intrinsics,
     search: ProjectionSearchParams,
-    opt: PoseOptConfig,
+    search_fine: Optional[ProjectionSearchParams] = None,
+    opt: PoseOptConfig = PoseOptConfig(),
 ):
-    """Batched project+match+pose-LM over the sequence axis."""
+    """Batched project+match+pose-LM over the sequence axis: the full
+    coarse+fine tracking stage of Tracker._track_frame_sync as ONE program.
+
+    Returns per-sequence (pose, match_idx, inlier, n_matched, n_inliers,
+    packed) with a leading batch axis — `packed` rows have the same 19-scalar
+    layout the single-sequence path uses, so MultiTracker feeds them straight
+    into Tracker._resolve_pending."""
+    from tpuslam.frontend.matcher import _fused_track
 
     def one(T, lines, ep3d, bits, validf, f):
-        pen, vf = _project_penalty.__wrapped__(T, ep3d, validf, f.midpoint, f.angle, cam, search)
-        m = _match_body(bits, vf, f.desc_bits, f.valid, pen, search.match)
-        res, n_matched = _pose_opt_from_matches.__wrapped__(
-            T, lines, f.endpoints, f.sigma, m.idx, m.valid, cam, opt
+        out = _fused_track.__wrapped__(
+            T, lines, ep3d, bits, validf,
+            f.midpoint, f.angle, f.desc_bits, f.valid, f.endpoints,
+            f.sigma, f.has_depth, cam, search, opt,
         )
-        return res.pose, m.idx, res.inlier_lines, n_matched, res.num_inliers
+        if search_fine is not None:
+            out = _fused_track.__wrapped__(
+                out[0], lines, ep3d, bits, validf,
+                f.midpoint, f.angle, f.desc_bits, f.valid, f.endpoints,
+                f.sigma, f.has_depth, cam, search_fine, opt,
+            )
+        return out
 
     return jax.vmap(one)(T_pred, map_plucker, map_ep3d, map_bits, map_validf, feats)
 
@@ -104,15 +118,86 @@ class MultiTracker:
 
     def track_stereo(self, lefts: np.ndarray, rights: np.ndarray, timestamps: Sequence[float]):
         """lefts/rights: (N, H, W) f32. Returns list of FrameResult."""
-        N = len(self.trackers)
         fl = batched_extract(self._put(jnp.asarray(lefts, jnp.float32)), self.cfg.frontend)
         fr = batched_extract(self._put(jnp.asarray(rights, jnp.float32)), self.cfg.frontend)
         feats = batched_stereo(fl, fr, self._fxb, self.cfg.stereo)
-        # per-sequence host tracking on the batched features (slicing the
-        # batch is a cheap device gather; control flow stays sequential)
-        results = []
-        for i, tr in enumerate(self.trackers):
-            fi = jax.tree.map(lambda x: x[i], feats)
+        return self.track_features(feats, timestamps)
+
+    def track_features(self, feats: FrameFeatures, timestamps: Sequence[float]):
+        """Track one batched-feature frame per sequence (leading axis N).
+
+        All sequences in steady-state tracking are solved by ONE batched
+        coarse+fine dispatch (`batched_track_step`); host keyframe policy and
+        map bookkeeping stay per-sequence via Tracker._resolve_pending.
+        Sequences that are initializing or LOST fall back to their own
+        single-sequence path (they need host-driven init/relocalization)."""
+        from tpuslam.frontend.matcher import TrackStepResult
+        from tpuslam.frontend.tracking import TrackingState
+
+        N = len(self.trackers)
+        results: List = [None] * N
+        same_cam = len(set(self.cams)) == 1
+        steady = [
+            i
+            for i, tr in enumerate(self.trackers)
+            if same_cam and tr.state == TrackingState.OK and tr.last_T_cw is not None
+        ]
+        for tr in self.trackers:
             tr.frame_idx += 1
-            results.append(tr._track(fi, timestamps[i], stereo=True))
+
+        if steady:
+            # Fixed batch shape: always dispatch all N rows (non-steady rows
+            # carry zero-valid local maps) so the program never recompiles as
+            # sequences drop in/out of the steady set.
+            T_pred = np.stack(
+                [
+                    (tr.velocity @ tr.last_T_cw).astype(np.float32)
+                    if tr.last_T_cw is not None
+                    else np.eye(4, np.float32)
+                    for tr in self.trackers
+                ]
+            )
+            locs = [tr._local_map_arrays() for tr in self.trackers]
+            stackk = lambda k: self._put(jnp.stack([l[k] for l in locs]))
+            out = batched_track_step(
+                self._put(jnp.asarray(T_pred)),
+                stackk("plucker"),
+                stackk("ep3d"),
+                stackk("bits"),
+                stackk("valid"),
+                feats,
+                self.cams[0],
+                self.cfg.search_coarse,
+                self.cfg.search_fine,
+                self.cfg.pose_opt,
+            )
+            pose_b, midx_b, inl_b, nm_b, ni_b, packed_b = out
+            packed = np.asarray(packed_b)  # one d2h for the whole batch
+            for i in steady:
+                tr = self.trackers[i]
+                fine_i = TrackStepResult(
+                    pose=pose_b[i],
+                    match_idx=midx_b[i],
+                    inlier=inl_b[i],
+                    num_matched=nm_b[i],
+                    num_inliers=ni_b[i],
+                    packed=packed[i],
+                )
+                fi = jax.tree.map(lambda x: x[i], feats)
+                results[i] = tr._resolve_pending(
+                    (
+                        tr.frame_idx,
+                        timestamps[i],
+                        fi,
+                        fine_i,
+                        True,
+                        tr._local_ids.copy(),
+                        tr._local_valid.copy(),
+                    )
+                )
+
+        for i, tr in enumerate(self.trackers):
+            if results[i] is None:
+                fi = jax.tree.map(lambda x: x[i], feats)
+                results[i] = tr._track(fi, timestamps[i], stereo=True)
         return results

@@ -109,12 +109,34 @@ def _toy_problem(rng: np.random.Generator, P_: int, L: int, OL: int, cam: Intrin
 
 
 def dryrun(n_devices: int) -> None:
-    """Driver hook: build an n_devices mesh, shard a batch of BA problems
-    across it, run the full LM+Schur step once on tiny shapes."""
+    """Driver hook: build an n_devices mesh and run the FULL config-#5 step
+    on tiny shapes — (1) batched multi-sequence tracking (one coarse+fine
+    projection-search + pose-LM dispatch for all sequences, sharded on the
+    'seq' axis) and (2) the sharded batched local-BA LM+Schur solve."""
     cam = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0)
     rng = np.random.default_rng(0)
     mesh = make_mesh(n_devices)
     B = n_devices
+
+    # (1) batched tracking over the mesh (detector-bypassed tiny features)
+    from tpuslam.frontend.tracking import TrackerConfig, TrackingState
+    from tpuslam.io.synthetic import make_wireframe_scene, synthetic_frame_features
+    from tpuslam.parallel.multi_seq import MultiTracker
+
+    scenes = [
+        make_wireframe_scene(
+            np.random.default_rng(100 + s), n_segments=80, n_frames=3, cam=cam, motion_scale=0.01
+        )
+        for s in range(B)
+    ]
+    mt = MultiTracker([cam] * B, TrackerConfig(local_capacity=256), mesh=mesh)
+    for f in range(3):
+        per = [synthetic_frame_features(scenes[s], f, with_depth=True)[0] for s in range(B)]
+        feats = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+        rs = mt.track_features(feats, [f * 0.05] * B)
+    assert all(r.state == TrackingState.OK for r in rs), [r.state for r in rs]
+
+    # (2) sharded batched BA
     probs = [_toy_problem(rng, P_=3, L=8, OL=32, cam=cam) for _ in range(B)]
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
     state = batched_ba(batch, cam, LMConfig(max_iters=3), mesh=mesh)

@@ -48,8 +48,6 @@ class KeyFrame:
     parent: Optional[int] = None
     children: set = field(default_factory=set)
     loop_edges: set = field(default_factory=set)
-    # set after global BA for map-correction propagation
-    T_cw_gba: Optional[np.ndarray] = None
 
     @property
     def T_wc(self) -> np.ndarray:

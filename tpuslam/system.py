@@ -97,7 +97,9 @@ class System:
         if loop_closing:
             from tpuslam.backend.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.map, cam, db=self.kf_db)
+            self.loop_closer = LoopCloser(
+                self.map, cam, db=self.kf_db, mono=(sensor == "mono")
+            )
         self.timer = StageTimer()
         self.trajectory: List[FrameResult] = []
         self._log_f = open(log_path, "w") if log_path else None
@@ -114,6 +116,9 @@ class System:
             self.timer.add("loop_closing", time.perf_counter() - t0)
             if corrected:
                 self.tracker.invalidate_local_map()
+                # tracking must continue from the corrected pose, not the
+                # pre-correction motion-model chain
+                self.tracker.adopt_pose(kf.T_cw)
         else:
             self.kf_db.add(kf)  # keep relocalization possible without LC
 
