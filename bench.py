@@ -64,6 +64,17 @@ def main():
         ba_ms = ba.get("local_ba_ms", 0.0)
     except (RuntimeError, subprocess.TimeoutExpired) as e:
         print(f"ba bench failed: {e}", file=sys.stderr)
+    # in-process mapping-enabled FPS (honest number when a KF lands on the
+    # single host thread), in its own subprocess so the LM+Schur compile
+    # cannot degrade the headline process (PERF_NOTES.md cliff)
+    map_fps = 0.0
+    try:
+        m = _run([], {"TPUSLAM_BENCH_FRAMES": "60", "TPUSLAM_BENCH_NOMAP": "0",
+                      "TPUSLAM_BENCH_DEVFEED": "0"})
+        map_fps = m.get("fps_median", 0.0)
+        print(f"mapping-enabled bench: {map_fps:.2f} fps", file=sys.stderr)
+    except (RuntimeError, subprocess.TimeoutExpired) as e:
+        print(f"mapping-enabled bench failed: {e}", file=sys.stderr)
     if best is None:
         print(
             json.dumps(
@@ -85,6 +96,8 @@ def main():
         "detail": {
             "track_ms_median": round(best["track_ms_median"], 3),
             "local_ba_ms": round(ba_ms, 3),
+            "fps_device_feed": round(best.get("fps_device_feed", 0.0), 2),
+            "fps_with_mapping": round(map_fps, 2),
             "device": best["device"],
             "keyframes": best["keyframes"],
             "lines": best["lines"],

@@ -25,6 +25,11 @@ if not os.environ.get("TPUSLAM_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Single-core build machine: XLA CPU compiles of the big fused programs
+    # dominate suite time. Persist them across test processes.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpuslam")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture

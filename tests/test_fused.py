@@ -1,0 +1,115 @@
+"""Fused single-program pipelined tracking (frontend/pipeline.py).
+
+The fused path must match the synchronous path's trajectory (same math,
+different program structure + 2-frame result lag) and handle u8 ingest,
+keyframe creation, and pipeline drains."""
+
+import numpy as np
+import pytest
+
+from tpuslam.eval.ate import absolute_trajectory_error
+from tpuslam.frontend.tracking import TrackerConfig, TrackingState
+from tpuslam.geometry.camera import Intrinsics
+from tpuslam.io.synthetic import make_wireframe_scene, render_wireframe_image
+from tpuslam.system import System
+
+CAM = Intrinsics(fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240, baseline=0.1)
+
+
+def _render_seq(rng, n_frames, u8=True):
+    scene = make_wireframe_scene(rng, n_segments=110, n_frames=n_frames, cam=CAM, motion_scale=0.015)
+    Tb = np.eye(4, dtype=np.float32)
+    Tb[0, 3] = -CAM.baseline
+    scene_r = scene._replace(poses=np.stack([Tb @ T for T in scene.poses]))
+    frames = []
+    for f in range(n_frames):
+        il = render_wireframe_image(scene, f, noise=1.0, rng=rng)
+        ir = render_wireframe_image(scene_r, f, noise=1.0, rng=rng)
+        if not u8:
+            il = il.astype(np.float32) / 255.0
+            ir = ir.astype(np.float32) / 255.0
+        frames.append((il, ir))
+    return scene, frames
+
+
+def _run(frames, pipelined):
+    sys_ = System(
+        CAM,
+        sensor="stereo",
+        loop_closing=False,
+        mapping=True,
+        tracker_cfg=TrackerConfig(pipelined=pipelined),
+    )
+    for f, (il, ir) in enumerate(frames):
+        sys_.track_stereo(il, ir, f * 0.05)
+    sys_.shutdown()
+    return sys_
+
+
+def test_fused_pipeline_matches_sync(rng):
+    n = 14
+    scene, frames = _render_seq(rng, n, u8=True)
+    sys_f = _run(frames, pipelined=True)
+    traj = sys_f.trajectory
+    # every frame exactly once despite the 2-frame lag (flush_all drains)
+    assert sorted(r.frame_idx for r in traj) == list(range(n))
+    assert all(r.state == TrackingState.OK for r in traj[2:])
+    est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in traj])
+    gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj])
+    ate = absolute_trajectory_error(est, gt)
+    assert ate.rmse < 0.02, ate
+    # regression guard: the device-resident pose chain must stay on SO(3) —
+    # without the in-program projection the orthogonality error compounds
+    # ~x2.4/frame through the se3_inverse motion-model product and reaches
+    # ~1e-3 by frame 14 (collapse by frame ~17)
+    for r in traj:
+        R = r.T_cw[:3, :3]
+        assert np.max(np.abs(R.T @ R - np.eye(3))) < 1e-5, r.frame_idx
+
+    # sync reference on the same frames
+    sys_s = _run(frames, pipelined=False)
+    est_s = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in sys_s.trajectory])
+    gt_s = np.stack(
+        [np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in sys_s.trajectory]
+    )
+    ate_s = absolute_trajectory_error(est_s, gt_s)
+    assert abs(ate.rmse - ate_s.rmse) < 0.01, (ate, ate_s)
+    # identical keyframe decisions and map size as the sync path
+    assert len(sys_f.map.keyframes) == len(sys_s.map.keyframes)
+    assert [r.made_keyframe for r in sorted(traj, key=lambda r: r.frame_idx)] == [
+        r.made_keyframe for r in sorted(sys_s.trajectory, key=lambda r: r.frame_idx)
+    ]
+    assert len(sys_f.map.lines.live_ids()) >= 20
+
+
+def test_fused_u8_matches_f32(rng):
+    n = 8
+    scene, frames_u8 = _render_seq(rng, n, u8=True)
+    frames_f32 = [(l.astype(np.float32) / 255.0, r.astype(np.float32) / 255.0) for l, r in frames_u8]
+    t1 = _run(frames_u8, pipelined=True).trajectory
+    t2 = _run(frames_f32, pipelined=True).trajectory
+    p1 = np.stack([r.T_cw for r in t1])
+    p2 = np.stack([r.T_cw for r in t2])
+    np.testing.assert_allclose(p1, p2, atol=1e-3)
+
+
+def test_fused_recovers_after_blank_frames(rng):
+    """Blank frames mid-sequence poison the device chain -> LOST -> the
+    drain + relocalization path must recover without corrupting results."""
+    n = 16
+    scene, frames = _render_seq(rng, n, u8=True)
+    blank = np.zeros_like(frames[0][0])
+    for f in (8, 9):
+        frames[f] = (blank, blank)
+    sys_ = _run(frames, pipelined=True)
+    traj = sys_.trajectory
+    assert sorted(r.frame_idx for r in traj) == list(range(n))
+    by_idx = {r.frame_idx: r for r in traj}
+    # goes LOST on the blanks
+    assert any(r.state == TrackingState.LOST for r in traj)
+    # and is OK again by the end
+    assert by_idx[n - 1].state == TrackingState.OK
+    good = [r for r in traj if r.state == TrackingState.OK and r.frame_idx < 8]
+    est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in good])
+    gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in good])
+    assert absolute_trajectory_error(est, gt).rmse < 0.02

@@ -153,18 +153,22 @@ def local_bundle_adjustment(
     window, line_ids = slam_map.local_window(center_kid, cfg.window_size)
     window = sorted(window)
     st = slam_map.lines
-    # fixed KFs: observe window lines but are not in the window
-    fixed_set = set()
+    # fixed KFs: observe window lines but are not in the window; when over
+    # capacity keep the MOST-observing anchors (dropping by id would discard
+    # the strongest constraints while the obs estimate still counted them)
+    window_set = set(window)
+    fixed_counts: dict = {}
     for l in line_ids:
         for kid in st.obs.get(l, {}):
-            if kid not in window and kid in slam_map.keyframes:
-                fixed_set.add(kid)
-    fixed = sorted(fixed_set)[: cfg.max_fixed]
+            if kid not in window_set and kid in slam_map.keyframes:
+                fixed_counts[kid] = fixed_counts.get(kid, 0) + 1
+    fixed = sorted(fixed_counts, key=lambda k: (-fixed_counts[k], k))[: cfg.max_fixed]
+    fixed_kept = set(fixed)
 
     P = _bucket(len(window) + len(fixed), cfg.pose_buckets)
     L = _bucket(len(line_ids), cfg.line_buckets)
     n_obs_est = sum(
-        sum(1 for k in st.obs.get(l, {}) if k in window or k in fixed_set)
+        sum(1 for k in st.obs.get(l, {}) if k in window_set or k in fixed_kept)
         for l in line_ids
     )
     OL = _bucket(n_obs_est, cfg.obs_buckets)

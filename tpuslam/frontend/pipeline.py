@@ -1,0 +1,208 @@
+"""The fused per-frame stereo tracking program + async image uploader.
+
+Why this module exists (measured on the axon tunnel, benchmarks/probe_*.py):
+
+- every PROGRAM DISPATCH costs ~4 ms on the wire regardless of work, so the
+  former 5-program frame (extract L, extract R, stereo, coarse, fine) paid
+  ~20 ms of pure overhead — here the whole frame is ONE program;
+- h2d transfers are bandwidth-bound at ~20 MB/s AND block the calling host
+  thread, but the device computes while a transfer is in flight when the
+  `device_put` is issued from ANOTHER thread — `AsyncUploader` runs uploads
+  on a worker so frame i's upload overlaps frame i-1's compute;
+- small per-frame uploads (a 4x4 pose) cost ~5 ms, so the motion-model pose
+  chain lives ON DEVICE: the program takes (T_last, T_prevlast) produced by
+  the previous frame's program and returns the accepted-or-predicted pose
+  pair for the next — zero uploads in steady state;
+- images cross the tunnel as uint8 (4x cheaper than f32); the u8 -> f32
+  conversion happens inside the program.
+
+Semantics match the two-stage sync tracker (motion-model prediction,
+coarse + fine projection search + pose LM, inlier acceptance gate); the
+acceptance select runs in-program so the chain never waits on the host.
+SURVEY §4.2 TrackWithMotionModel/TrackLocalMap bodies, restructured for the
+tunnel's cost model.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend.pose_opt import PoseOptConfig
+from tpuslam.frontend.frame import (
+    FrameFeatures,
+    FrontendParams,
+    StereoParams,
+    _fused_extract,
+    _fused_stereo,
+)
+from tpuslam.frontend.matcher import ProjectionSearchParams, _fused_track
+from tpuslam.geometry.camera import Intrinsics
+from tpuslam.geometry.se3 import se3_inverse, se3_orthonormalize
+
+
+class FusedFrameOut(NamedTuple):
+    feats: FrameFeatures  # stereo-associated left features (device)
+    match_idx: jnp.ndarray  # (NL,) landmark -> frame slot
+    inlier: jnp.ndarray  # (NL,) f32
+    packed: jnp.ndarray  # (20,) f32: pose(16), n_matched, n_inliers, n_depth, accept
+    T_last: jnp.ndarray  # (4, 4) accepted (or predicted) pose — chain forward
+    T_prevlast: jnp.ndarray  # (4, 4) chain forward
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
+def _fused_frame(
+    pair,  # (2, H, W) uint8 or f32 — left, right
+    T_last,
+    T_prevlast,
+    lm_plucker,
+    lm_ep3d,
+    lm_bits,
+    lm_validf,
+    fxb: float,
+    cam: Intrinsics,
+    fe: FrontendParams,
+    sp: StereoParams,
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    po: PoseOptConfig,
+    min_inliers: int,
+) -> FusedFrameOut:
+    if pair.dtype != jnp.float32:
+        pair = pair.astype(jnp.float32) / 255.0  # same rounding as the host path
+    # lax.map over the stereo pair: ONE traced extract body (compile cost of
+    # a single-image program; unrolling twice risks the >40 s compile cliff).
+    # NOT vmap: batching reassociates the f32 reductions inside LSD enough to
+    # flip near-tie CCL partitions on some frames, and the detection deltas
+    # compound through the pose chain (verified: ATE 0.03 -> 0.38 over 20
+    # frames). lax.map runs the exact single-image program per element.
+    feats2 = jax.lax.map(lambda im: _fused_extract.__wrapped__(im, fe), pair)
+    fl = jax.tree_util.tree_map(lambda x: x[0], feats2)
+    fr = jax.tree_util.tree_map(lambda x: x[1], feats2)
+    depth, okf = _fused_stereo.__wrapped__(
+        fl.midpoint, fl.angle, fl.length, fl.desc_bits, fl.valid, fl.endpoints,
+        fr.midpoint, fr.angle, fr.length, fr.desc_bits, fr.valid, fr.endpoints,
+        fxb, sp, 10.0,
+    )
+    feats = fl._replace(depth=depth, has_depth=okf)
+
+    # motion model on device: T_pred = (T_last @ inv(T_prevlast)) @ T_last
+    T_pred = T_last @ se3_inverse(T_prevlast) @ T_last
+    pose_c, _, _, _, _, _ = _fused_track.__wrapped__(
+        T_pred, lm_plucker, lm_ep3d, lm_bits, lm_validf,
+        feats.midpoint, feats.angle, feats.desc_bits, feats.valid,
+        feats.endpoints, feats.sigma, feats.has_depth, cam, sc, po,
+    )
+    pose_f, midx, inlier, n_matched, n_inl, _ = _fused_track.__wrapped__(
+        pose_c, lm_plucker, lm_ep3d, lm_bits, lm_validf,
+        feats.midpoint, feats.angle, feats.desc_bits, feats.valid,
+        feats.endpoints, feats.sigma, feats.has_depth, cam, sf, po,
+    )
+
+    acceptf = (n_inl >= min_inliers).astype(jnp.float32)
+    # SO(3) projection: the chain feeds back through se3_inverse products
+    # frame after frame; without this the orthogonality error compounds
+    # exponentially (~x2.4/frame) and tracking collapses around frame 15
+    T_acc = se3_orthonormalize(acceptf * pose_f + (1.0 - acceptf) * T_pred)
+    # on reject: velocity resets to identity (T_prevlast' = T_acc)
+    T_prev_next = acceptf * T_last + (1.0 - acceptf) * T_acc
+    packed = jnp.concatenate(
+        [
+            T_acc.reshape(-1),
+            n_matched[None].astype(jnp.float32),
+            n_inl[None].astype(jnp.float32),
+            jnp.sum(feats.has_depth)[None],
+            acceptf[None],
+        ]
+    )
+    return FusedFrameOut(
+        feats=feats,
+        match_idx=midx,
+        inlier=inlier,
+        packed=packed,
+        T_last=T_acc,
+        T_prevlast=T_prev_next,
+    )
+
+
+def fused_stereo_frame(
+    pair: jnp.ndarray,
+    T_last: jnp.ndarray,
+    T_prevlast: jnp.ndarray,
+    local: dict,
+    fxb: float,
+    cam: Intrinsics,
+    fe: FrontendParams,
+    sp: StereoParams,
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    po: PoseOptConfig,
+    min_inliers: int,
+) -> FusedFrameOut:
+    """One device dispatch for a full stereo tracking frame."""
+    return _fused_frame(
+        pair, T_last, T_prevlast,
+        local["plucker"], local["ep3d"], local["bits"], local["valid"],
+        float(fxb), cam, fe, sp, sc, sf, po, int(min_inliers),
+    )
+
+
+class AsyncUploader:
+    """Uploads frame images to the device from a worker thread.
+
+    `jax.device_put` blocks the CALLING thread for the full transfer
+    (~35 ms for a VGA stereo pair at the tunnel's ~20 MB/s), but the device
+    executes already-enqueued programs concurrently — so a worker thread
+    turns the upload into pipeline overlap instead of added latency.
+    """
+
+    def __init__(self, depth: int = 2):
+        self._jobs: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._thread = None
+
+    def _ensure_thread(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+
+    def _worker(self):
+        while True:
+            job = self._jobs.get()
+            if job is None:
+                return
+            arrays, slot, event = job
+            try:
+                slot.append(tuple(jax.device_put(a) for a in arrays))
+            except Exception as e:  # surfaced by get()
+                slot.append(e)
+            event.set()
+
+    def submit(self, *arrays: np.ndarray):
+        """Enqueue an upload; returns a handle whose .get() yields the
+        device arrays (blocking until the transfer completed)."""
+        self._ensure_thread()
+        slot: list = []
+        event = threading.Event()
+        self._jobs.put((arrays, slot, event))
+
+        class _Handle:
+            def get(self, timeout: float = 120.0):
+                if not event.wait(timeout):
+                    raise TimeoutError("device upload timed out")
+                if isinstance(slot[0], Exception):
+                    raise slot[0]
+                return slot[0]
+
+        return _Handle()
+
+    def close(self):
+        if self._thread is not None and self._thread.is_alive():
+            self._jobs.put(None)
+            self._thread.join(timeout=5.0)
+            self._thread = None

@@ -18,6 +18,8 @@ so tracking never recompiles after warmup.
 from __future__ import annotations
 
 import enum
+import os
+from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional
@@ -50,6 +52,14 @@ class TrackingState(enum.Enum):
     LOST = 2
 
 
+def _img_f32(img: np.ndarray) -> np.ndarray:
+    """Accept u8 (0..255) or f32 (0..1) frames; return f32 in [0, 1]."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return img.astype(np.float32, copy=False)
+
+
 
 
 @dataclass
@@ -64,6 +74,12 @@ class TrackerConfig:
     # pose prediction/acceptance stay device-resident; host state, keyframe
     # decisions, and returned FrameResults lag one frame (PERF_NOTES.md —
     # every host<->device sync pays a relay round trip on the axon backend)
+    fused: bool = True  # with pipelined stereo: ONE device program per frame
+    # (extract pair + stereo + coarse + fine + acceptance) with the pose
+    # chain device-resident, plus a worker-thread image uploader — the
+    # tunnel's ~4 ms/dispatch and thread-blocking h2d make this the fast
+    # path (frontend/pipeline.py). Results lag TWO frames. Kill switch:
+    # TPUSLAM_FUSED=0.
     min_init_lines: int = 20
     min_track_matches: int = 10
     min_track_inliers: int = 8
@@ -111,21 +127,184 @@ class Tracker:
         self.n_relocalizations = 0
         # pipelined-mode state: the in-flight previous frame
         self._pending = None
+        # fused-pipeline state (frontend/pipeline.py)
+        self._completed: deque = deque()  # FrameResults finished this call
+        self._up_pending = None  # (frame_idx, ts, upload handle)
+        self._fuse_pending = None  # (frame_idx, ts, FusedFrameOut, ids, valid)
+        self._dev_chain = None  # (T_last, T_prevlast) device arrays
+        self._uploader = None
 
     # ---- public API ----------------------------------------------------
-    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> FrameResult:
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> Optional[FrameResult]:
         self.frame_idx += 1
         if not hasattr(self, "_fxb"):
             self._fxb = jnp.float32(self.cam.fx * self.cam.baseline)
-        fl = extract_features(jnp.asarray(img_left, jnp.float32), self.cfg.frontend)
-        fr = extract_features(jnp.asarray(img_right, jnp.float32), self.cfg.frontend)
+        if self._use_fused() and self.state == TrackingState.OK:
+            return self._track_stereo_fused(img_left, img_right, timestamp)
+        self._drain_fused()
+        fl = extract_features(jnp.asarray(_img_f32(img_left)), self.cfg.frontend)
+        fr = extract_features(jnp.asarray(_img_f32(img_right)), self.cfg.frontend)
         feats = stereo_line_depths(fl, fr, self._fxb, self.cfg.stereo)
-        return self._track(feats, timestamp, stereo=True)
+        r = self._track(feats, timestamp, stereo=True)
+        if r is not None:
+            self._completed.append(r)
+        return self._completed.popleft() if self._completed else None
 
     def track_monocular(self, img: np.ndarray, timestamp: float) -> FrameResult:
         self.frame_idx += 1
-        feats = extract_features(jnp.asarray(img, jnp.float32), self.cfg.frontend)
+        feats = extract_features(jnp.asarray(_img_f32(img)), self.cfg.frontend)
         return self._track(feats, timestamp, stereo=False)
+
+    def pop_results(self) -> List[FrameResult]:
+        """Drain FrameResults beyond the one returned by track_* (pipeline
+        transitions can complete several frames in one call)."""
+        out = list(self._completed)
+        self._completed.clear()
+        return out
+
+    # ---- fused single-program pipeline (frontend/pipeline.py) -----------
+    def _use_fused(self) -> bool:
+        return (
+            self.cfg.pipelined
+            and self.cfg.fused
+            and os.environ.get("TPUSLAM_FUSED", "1") == "1"
+        )
+
+    def _track_stereo_fused(self, il, ir, timestamp: float) -> Optional[FrameResult]:
+        from tpuslam.frontend.pipeline import AsyncUploader
+
+        if self._uploader is None:
+            self._uploader = AsyncUploader()
+        handle = self._uploader.submit(np.ascontiguousarray(np.stack([il, ir])))
+        prev_up, self._up_pending = self._up_pending, (self.frame_idx, timestamp, handle)
+        if prev_up is not None:
+            self._fuse_compute(prev_up)
+        return self._completed.popleft() if self._completed else None
+
+    def _fuse_compute(self, up):
+        """Enqueue the fused frame program for an uploaded frame, then
+        resolve the previous fused frame (its d2h overlaps this compute)."""
+        from tpuslam.frontend.pipeline import fused_stereo_frame
+
+        pidx, pts, handle = up
+        (pair_dev,) = handle.get()
+        if self._dev_chain is None:
+            T_last = np.asarray(self.T_cw, np.float32)
+            vel_inv = np.linalg.inv(self.velocity).astype(np.float32)
+            self._dev_chain = (
+                jnp.asarray(T_last),
+                jnp.asarray(vel_inv @ T_last),
+            )
+        local = self._local_map_arrays()
+        out = fused_stereo_frame(
+            pair_dev,
+            self._dev_chain[0],
+            self._dev_chain[1],
+            local,
+            float(self.cam.fx * self.cam.baseline),
+            self.cam,
+            self.cfg.frontend,
+            self.cfg.stereo,
+            self.cfg.search_coarse,
+            self.cfg.search_fine,
+            self.cfg.pose_opt,
+            self.cfg.min_track_inliers,
+        )
+        self._dev_chain = (out.T_last, out.T_prevlast)
+        self._resolve_fused()
+        if self.state == TrackingState.OK:
+            self._fuse_pending = (
+                pidx, pts, out, self._local_ids.copy(), self._local_valid.copy()
+            )
+        else:
+            # the program above ran against a chain the resolve just declared
+            # LOST — its track output is garbage; relocalize this frame on
+            # its (pose-independent) extracted features instead
+            self._dev_chain = None
+            saved = self.frame_idx
+            self.frame_idx = pidx
+            r = self._track_frame_sync(out.feats, pts, stereo=True, relocalize=True)
+            self.frame_idx = saved
+            self._completed.append(r)
+
+    def _resolve_fused(self):
+        if self._fuse_pending is None:
+            return
+        fidx, fts, out, lids, lvalid = self._fuse_pending
+        self._fuse_pending = None
+        packed = np.asarray(out.packed)
+        n_matches = int(packed[16])
+        n_inliers = int(packed[17])
+        self._n_depth_cache = int(packed[18])
+        accepted = packed[19] > 0.5
+        made_kf = False
+        if not accepted:
+            # TrackReferenceKeyFrame fallback on the already-extracted feats
+            alt = self._track_reference_keyframe(out.feats)
+            if alt is not None:
+                n_matches = int(alt.num_matched)
+                n_inliers = int(alt.num_inliers)
+                out = out._replace(match_idx=alt.match_idx, inlier=alt.inlier)
+                packed = packed.copy()
+                packed[:16] = np.asarray(alt.pose).reshape(-1)
+                accepted = True
+                lids = self._local_ids.copy()
+                lvalid = self._local_valid.copy()
+                self._dev_chain = None  # chain no longer matches host pose
+        if accepted:
+            self.state = TrackingState.OK
+            new_T = packed[:16].reshape(4, 4).astype(np.float32)
+            if self.last_T_cw is not None:
+                self.velocity = (new_T @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
+            self.last_T_cw = new_T
+            self.T_cw = new_T
+            saved = self.frame_idx
+            self.frame_idx = fidx
+            if self._need_new_keyframe(n_inliers, out.feats, stereo=True):
+                fine = TrackStepResult(
+                    pose=new_T,
+                    match_idx=out.match_idx,
+                    inlier=out.inlier,
+                    num_matched=n_matches,
+                    num_inliers=n_inliers,
+                )
+                self._create_keyframe(out.feats, fts, fine, True, lids, lvalid)
+                made_kf = True
+            self.frame_idx = saved
+        else:
+            # motion-model pose was kept on device; mirror it and go LOST
+            self.state = TrackingState.LOST
+            self.T_cw = packed[:16].reshape(4, 4).astype(np.float32)
+            self.last_T_cw = self.T_cw.copy()
+            self.velocity = np.eye(4, dtype=np.float32)
+            self._dev_chain = None
+        self._completed.append(
+            FrameResult(
+                fidx, fts, self.T_cw.copy(), self.state, n_matches, n_inliers, made_kf
+            )
+        )
+
+    def _drain_fused(self):
+        """Complete all in-flight fused frames (pipeline transition/flush)."""
+        self._resolve_fused()
+        if self._up_pending is not None:
+            up, self._up_pending = self._up_pending, None
+            if self.state == TrackingState.OK:
+                self._fuse_compute(up)
+                self._resolve_fused()
+            else:
+                # chain is poisoned (LOST): extract only, then relocalize
+                pidx, pts, handle = up
+                (pair_dev,) = handle.get()
+                pair_h = np.asarray(pair_dev)
+                fl = extract_features(jnp.asarray(_img_f32(pair_h[0])), self.cfg.frontend)
+                fr = extract_features(jnp.asarray(_img_f32(pair_h[1])), self.cfg.frontend)
+                feats = stereo_line_depths(fl, fr, self._fxb, self.cfg.stereo)
+                saved = self.frame_idx
+                self.frame_idx = pidx
+                r = self._track_frame_sync(feats, pts, stereo=True, relocalize=True)
+                self.frame_idx = saved
+                self._completed.append(r)
 
     # ---- pipelined mode --------------------------------------------------
     def _track_pipelined(self, feats: FrameFeatures, timestamp: float, stereo: bool):
@@ -211,6 +390,16 @@ class Tracker:
             return None
         prev, self._pending = self._pending, None
         return prev[1] if prev[0] == "done" else self._resolve_pending(prev[1:])
+
+    def flush_all(self) -> List[FrameResult]:
+        """Drain every in-flight frame (classic + fused pipelines)."""
+        out: List[FrameResult] = []
+        r = self.flush()
+        if r is not None:
+            out.append(r)
+        self._drain_fused()
+        out.extend(self.pop_results())
+        return out
 
     # ---- core ----------------------------------------------------------
     def _track(self, feats: FrameFeatures, timestamp: float, stereo: bool) -> FrameResult:
@@ -584,6 +773,7 @@ class Tracker:
         self.T_cw = np.asarray(T_cw, np.float32).copy()
         self.last_T_cw = self.T_cw.copy()
         self.velocity = np.eye(4, dtype=np.float32)
+        self._dev_chain = None  # device pose chain re-seeds from host
 
     def _local_map_arrays(self):
         if not self._local_dirty and hasattr(self, "_local_dev"):

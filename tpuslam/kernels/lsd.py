@@ -115,7 +115,11 @@ def _use_pallas_ccl(params: LSDParams) -> bool:
         return True
     if params.ccl == "xla":
         return False
-    return jax.default_backend() not in ("cpu",)
+    # 'auto' currently means XLA everywhere: the whole-array Pallas kernel
+    # exceeds the 16 MB scoped-vmem limit at VGA on the real chip (the
+    # fori_loop body live set is ~18 MB). Opt in with ccl='pallas' once the
+    # kernel is strip-tiled under the limit.
+    return False
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -147,9 +147,12 @@ class System:
         r = self.tracker.track_stereo(img_left, img_right, timestamp)
         dt = time.perf_counter() - t0
         self.timer.add("track", dt)
-        if r is not None:  # pipelined mode resolves with a one-frame lag
+        if r is not None:  # pipelined mode resolves with a 1-2 frame lag
             self.trajectory.append(r)
             self._log(r, dt)
+        for extra in self.tracker.pop_results():  # pipeline transitions
+            self.trajectory.append(extra)
+            self._log(extra, 0.0)
         return np.asarray(self.tracker.T_cw)
 
     def track_monocular(self, img, timestamp: float) -> np.ndarray:
@@ -227,10 +230,15 @@ class System:
         return self.timer.summary()
 
     def shutdown(self):
-        r = self.tracker.flush() if hasattr(self.tracker, "flush") else None
-        if r is not None:
-            self.trajectory.append(r)
-            self._log(r, 0.0)
+        if hasattr(self.tracker, "flush_all"):
+            for r in self.tracker.flush_all():
+                self.trajectory.append(r)
+                self._log(r, 0.0)
+        elif hasattr(self.tracker, "flush"):
+            r = self.tracker.flush()
+            if r is not None:
+                self.trajectory.append(r)
+                self._log(r, 0.0)
         if self._log_f is not None:
             self._log_f.write(json.dumps(dict(timing=self.timing_summary())) + "\n")
             self._log_f.close()

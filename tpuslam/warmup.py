@@ -22,6 +22,28 @@ import jax
 import jax.numpy as jnp
 
 
+def __fused_frame_warm(cam, fe, sp, sc, sf, oc, NL, rng, dtype):
+    import jax.numpy as jnp
+
+    from tpuslam.frontend.pipeline import fused_stereo_frame
+
+    if dtype == np.uint8:
+        pair = (rng.random((2, cam.height, cam.width)) * 255).astype(np.uint8)
+    else:
+        pair = rng.random((2, cam.height, cam.width)).astype(np.float32)
+    T = jnp.eye(4, dtype=jnp.float32)
+    local = dict(
+        plucker=jnp.asarray(rng.standard_normal((NL, 6)), jnp.float32),
+        ep3d=jnp.asarray(rng.standard_normal((NL, 2, 3)) + [0, 0, 6.0], jnp.float32),
+        bits=jnp.asarray(rng.integers(0, 2**31, (NL, 8)), jnp.uint32),
+        valid=jnp.ones(NL, jnp.float32),
+    )
+    return fused_stereo_frame(
+        jnp.asarray(pair), T, T, local, cam.fx * cam.baseline,
+        cam, fe, sp, sc, sf, oc, 8,
+    ).packed
+
+
 def warmup_tracking(
     cam,
     frontend_params=None,
@@ -114,6 +136,10 @@ def warmup_tracking(
             fl.has_depth, cam, sf, oc)),
         ("extract", lambda: extract_features(
             jnp.asarray(rng.random((cam.height, cam.width)), jnp.float32), fe)),
+        # the fused whole-frame program (frontend/pipeline.py) — u8 ingest,
+        # the production path for pipelined stereo tracking
+        ("fused_frame_u8", lambda: __fused_frame_warm(
+            cam, fe, sp, sc, sf, oc, NL, rng, np.uint8)),
     ]
     if with_mapping:
         from tpuslam.backend.lm import LMConfig
