@@ -30,8 +30,11 @@ class LocalBAConfig(NamedTuple):
     pose_buckets: Tuple[int, ...] = (8, 16, 24)
     line_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
     obs_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096)
+    point_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
+    p_obs_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096)
     lm: LMConfig = LMConfig(max_iters=8)
     chi2_line: float = 7.378
+    chi2_point: float = 5.991
     prune_outliers: bool = True
     min_obs_keep: int = 2
 
@@ -62,10 +65,15 @@ def build_problem(
     fixed: List[int],
     line_ids: List[int],
     caps: Tuple[int, int, int],
-) -> Tuple[BAProblem, List[int], List[int], np.ndarray]:
+    point_ids: List[int] | None = None,
+    point_caps: Tuple[int, int] = (1, 1),
+) -> Tuple[BAProblem, List[int], List[int], np.ndarray, np.ndarray]:
     """Gather a padded BAProblem. Returns (problem, kf_order, line_order,
-    obs_table (n_obs, 3) of [kf_pos, line_pos, feature_slot])."""
+    obs_table (n_obs, 3) of [kf_pos, line_pos, feature_slot], p_obs_table
+    (n_p_obs, 3) of [kf_pos, point_pos, corner_slot])."""
     P, L, OL = caps
+    point_ids = point_ids or []
+    M, OP = point_caps
     kf_order = window + fixed
     kf_pos = {k: i for i, k in enumerate(kf_order)}
     line_pos = {l: i for i, l in enumerate(line_ids)}
@@ -94,6 +102,32 @@ def build_problem(
                 rows.append((kf_pos[kid], line_pos[l], kid, slot))
     rows = rows[:OL]
     n_obs = len(rows)
+    # point blocks (hybrid maps; empty stubs otherwise)
+    pst = slam_map.points
+    point_pos = {q: i for i, q in enumerate(point_ids)}
+    points = np.zeros((M, 3), np.float32)
+    point_valid = np.zeros(M, np.float32)
+    for q, i in point_pos.items():
+        points[i] = pst.xyz[q]
+        point_valid[i] = 1.0
+    prows = []
+    for q in point_ids:
+        for kid, slot in pst.obs.get(q, {}).items():
+            if kid in kf_pos:
+                prows.append((kf_pos[kid], point_pos[q], kid, slot))
+    prows = prows[:OP]
+    p_pose = np.zeros(OP, np.int32)
+    p_point = np.zeros(OP, np.int32)
+    p_uv = np.zeros((OP, 2), np.float32)
+    p_valid = np.zeros(OP, np.float32)
+    p_obs_table = np.zeros((len(prows), 3), np.int32)
+    for r, (pi, qi, kid, slot) in enumerate(prows):
+        kf = slam_map.keyframes[kid]
+        p_pose[r] = pi
+        p_point[r] = qi
+        p_uv[r] = kf.point_features.uv[slot]
+        p_valid[r] = 1.0
+        p_obs_table[r] = (pi, qi, slot)
     l_pose = np.zeros(OL, np.int32)
     l_line = np.zeros(OL, np.int32)
     l_ep = np.zeros((OL, 2, 2), np.float32)
@@ -114,20 +148,20 @@ def build_problem(
         pose_free=jnp.asarray(pose_free),
         lines=jnp.asarray(lines),
         line_valid=jnp.asarray(line_valid),
-        points=jnp.zeros((1, 3), jnp.float32),
-        point_valid=jnp.zeros(1, jnp.float32),
+        points=jnp.asarray(points),
+        point_valid=jnp.asarray(point_valid),
         l_pose=jnp.asarray(l_pose),
         l_line=jnp.asarray(l_line),
         l_endpoints=jnp.asarray(l_ep),
         l_valid=jnp.asarray(l_valid),
         l_sigma=jnp.asarray(l_sigma),
-        p_pose=jnp.zeros(1, jnp.int32),
-        p_point=jnp.zeros(1, jnp.int32),
-        p_uv=jnp.zeros((1, 2), jnp.float32),
-        p_valid=jnp.zeros(1, jnp.float32),
-        p_sigma=jnp.ones(1, jnp.float32),
+        p_pose=jnp.asarray(p_pose),
+        p_point=jnp.asarray(p_point),
+        p_uv=jnp.asarray(p_uv),
+        p_valid=jnp.asarray(p_valid),
+        p_sigma=jnp.ones(OP, jnp.float32),
     )
-    return prob, kf_order, line_ids, obs_table
+    return prob, kf_order, line_ids, obs_table, p_obs_table
 
 
 def _project_endpoints_to_line(ep: np.ndarray, L: np.ndarray) -> np.ndarray:
@@ -174,8 +208,22 @@ def local_bundle_adjustment(
     OL = _bucket(n_obs_est, cfg.obs_buckets)
     line_ids = line_ids[:L]
 
-    prob, kf_order, line_order, obs_table = build_problem(
-        slam_map, window, fixed, line_ids, (P, L, OL)
+    # hybrid point blocks (empty on line-only maps: M=OP=1 stubs)
+    pst = slam_map.points
+    point_ids = [q for q in slam_map.window_point_ids(window) if pst.alive[q]]
+    if point_ids:
+        M = _bucket(len(point_ids), cfg.point_buckets)
+        point_ids = point_ids[:M]
+        n_p_obs = sum(
+            sum(1 for k in pst.obs.get(q, {}) if k in window_set or k in fixed_kept)
+            for q in point_ids
+        )
+        OP = _bucket(n_p_obs, cfg.p_obs_buckets)
+    else:
+        M, OP = 1, 1
+
+    prob, kf_order, line_order, obs_table, p_obs_table = build_problem(
+        slam_map, window, fixed, line_ids, (P, L, OL), point_ids, (M, OP)
     )
     state: BAState = _run_lm_jit(prob, cam, cfg.lm)
 
@@ -189,11 +237,16 @@ def local_bundle_adjustment(
         if st.alive[lid]:
             st.plucker[lid] = new_lines[i]
             st.endpoints[lid] = _project_endpoints_to_line(st.endpoints[lid], new_lines[i])
+    if point_ids:
+        new_points = np.asarray(state.points)
+        for i, qid in enumerate(point_ids):
+            if pst.alive[qid]:
+                pst.xyz[qid] = new_points[i]
 
     # ---- outlier pruning -------------------------------------------------
     n_pruned = 0
     if cfg.prune_outliers:
-        inl_l, _ = _chi2_jit(state, prob, cam, cfg.chi2_line, 5.991)
+        inl_l, inl_p = _chi2_jit(state, prob, cam, cfg.chi2_line, cfg.chi2_point)
         inl_l = np.asarray(inl_l)
         for r in range(obs_table.shape[0]):
             if inl_l[r] < 0.5:
@@ -206,6 +259,16 @@ def local_bundle_adjustment(
         for lid in line_order:
             if st.alive[lid] and st.n_obs[lid] < cfg.min_obs_keep:
                 st.kill(int(lid), slam_map.keyframes)
+        if point_ids:
+            inl_p = np.asarray(inl_p)
+            for r in range(p_obs_table.shape[0]):
+                if inl_p[r] < 0.5:
+                    pi, qi, slot = p_obs_table[r]
+                    pst.erase_observation(int(point_ids[qi]), slam_map.keyframes[kf_order[pi]])
+                    n_pruned += 1
+            for qid in point_ids:
+                if pst.alive[qid] and pst.n_obs[qid] < cfg.min_obs_keep:
+                    pst.kill(int(qid), slam_map.keyframes)
 
     return LocalBAStats(
         n_poses=len(window),

@@ -67,6 +67,7 @@ class LocalMapper:
         self.cfg = cfg
         self.mono = mono
         self._recent: Dict[int, int] = {}  # line id -> kf id at creation
+        self._recent_pts: Dict[int, int] = {}  # point id -> kf id at creation
         self._kf_count = 0
         self.last_ba: LocalBAStats | None = None
         self.on_map_changed = None  # callback (e.g. tracker.invalidate_local_map)
@@ -92,6 +93,11 @@ class LocalMapper:
         for lid in kf.line_ids:
             if lid >= 0 and st.first_kf[lid] == kf.kid:
                 self._recent[int(lid)] = kf.kid
+        if kf.point_ids is not None:
+            pst = self.map.points
+            for pid in kf.point_ids:
+                if pid >= 0 and pst.first_kf[pid] == kf.kid:
+                    self._recent_pts[int(pid)] = kf.kid
 
     def _cull_recent(self, kf: KeyFrame):
         st = self.map.lines
@@ -104,6 +110,15 @@ class LocalMapper:
                 if st.n_obs[lid] < self.cfg.cull_min_obs:
                     st.kill(lid, self.map.keyframes)
                 del self._recent[lid]
+        pst = self.map.points
+        for pid, born in list(self._recent_pts.items()):
+            if not pst.alive[pid]:
+                del self._recent_pts[pid]
+                continue
+            if kf.kid - born >= self.cfg.cull_horizon:
+                if pst.n_obs[pid] < self.cfg.cull_min_obs:
+                    pst.kill(pid, self.map.keyframes)
+                del self._recent_pts[pid]
 
     # ---- new landmark triangulation (mono) ------------------------------
     def _create_new_maplines(self, kf: KeyFrame):

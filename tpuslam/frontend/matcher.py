@@ -145,18 +145,49 @@ def _pose_opt_from_matches(
     return res, jnp.sum(match_validf).astype(jnp.int32)
 
 
+def _track_stage_body(
+    T_pred, map_plucker, map_ep3d, map_bits, map_validf,
+    f_mid, f_ang, f_bits, f_valid, f_ep, f_sigma,
+    cam: Intrinsics, search: "ProjectionSearchParams", opt: PoseOptConfig,
+    radius=None,
+):
+    """One project+match+pose-LM stage (trace-once body).
+
+    `radius` may be a TRACED scalar overriding search.radius — the fused
+    pipeline scans this body over (coarse, fine) radii so the stage's graph
+    is emitted once per program instead of twice (the remote compile
+    service's latency scales with program size and >30-40 s compiles degrade
+    every later dispatch — PERF_NOTES.md)."""
+    from tpuslam.kernels.match import (
+        _match_body,
+        angle_penalty,
+        midpoint_radius_penalty,
+    )
+
+    _, mid, ang, visible = project_map_lines(
+        T_pred, map_ep3d, cam, search.min_z, search.margin
+    )
+    r = search.radius if radius is None else radius
+    pen = midpoint_radius_penalty(mid, f_mid, r) + angle_penalty(
+        ang, f_ang, search.angle_tol
+    )
+    vf = map_validf * visible.astype(jnp.float32)
+    m = _match_body(map_bits, vf, f_bits, f_valid, pen, search.match)
+    res, n_matched = _pose_opt_from_matches.__wrapped__(
+        T_pred, map_plucker, f_ep, f_sigma, m.idx, m.valid, cam, opt
+    )
+    return res, m, n_matched
+
+
 @partial(jax.jit, static_argnums=(12, 13, 14))
 def _fused_track(
     T_pred, map_plucker, map_ep3d, map_bits, map_validf,
     f_mid, f_ang, f_bits, f_valid, f_ep, f_sigma, f_has_depth,
     cam: Intrinsics, search: "ProjectionSearchParams", opt: PoseOptConfig,
 ):
-    from tpuslam.kernels.match import _match_body
-
-    pen, vf = _project_penalty.__wrapped__(T_pred, map_ep3d, map_validf, f_mid, f_ang, cam, search)
-    m = _match_body(map_bits, vf, f_bits, f_valid, pen, search.match)
-    res, n_matched = _pose_opt_from_matches.__wrapped__(
-        T_pred, map_plucker, f_ep, f_sigma, m.idx, m.valid, cam, opt
+    res, m, n_matched = _track_stage_body(
+        T_pred, map_plucker, map_ep3d, map_bits, map_validf,
+        f_mid, f_ang, f_bits, f_valid, f_ep, f_sigma, cam, search, opt,
     )
     packed = jnp.concatenate(
         [

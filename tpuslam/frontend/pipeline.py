@@ -4,7 +4,12 @@ Why this module exists (measured on the axon tunnel, benchmarks/probe_*.py):
 
 - every PROGRAM DISPATCH costs ~4 ms on the wire regardless of work, so the
   former 5-program frame (extract L, extract R, stereo, coarse, fine) paid
-  ~20 ms of pure overhead — here the whole frame is ONE program;
+  ~20 ms of pure overhead — here the frame is TWO programs (extract-pair,
+  stereo+track) with all intermediates device-resident. Not one: program
+  size drives the remote-compile lottery, and a single >30-40 s compile
+  permanently degrades every later dispatch in the process (PERF_NOTES.md);
+  the monolithic variant (TPUSLAM_FUSED_SPLIT=0) was observed losing that
+  lottery for >25 min;
 - h2d transfers are bandwidth-bound at ~20 MB/s AND block the calling host
   thread, but the device computes while a transfer is in flight when the
   `device_put` is issued from ANOTHER thread — `AsyncUploader` runs uploads
@@ -42,7 +47,7 @@ from tpuslam.frontend.frame import (
     _fused_extract,
     _fused_stereo,
 )
-from tpuslam.frontend.matcher import ProjectionSearchParams, _fused_track
+from tpuslam.frontend.matcher import ProjectionSearchParams
 from tpuslam.geometry.camera import Intrinsics
 from tpuslam.geometry.se3 import se3_inverse, se3_orthonormalize
 
@@ -56,24 +61,7 @@ class FusedFrameOut(NamedTuple):
     T_prevlast: jnp.ndarray  # (4, 4) chain forward
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
-def _fused_frame(
-    pair,  # (2, H, W) uint8 or f32 — left, right
-    T_last,
-    T_prevlast,
-    lm_plucker,
-    lm_ep3d,
-    lm_bits,
-    lm_validf,
-    fxb: float,
-    cam: Intrinsics,
-    fe: FrontendParams,
-    sp: StereoParams,
-    sc: ProjectionSearchParams,
-    sf: ProjectionSearchParams,
-    po: PoseOptConfig,
-    min_inliers: int,
-) -> FusedFrameOut:
+def _extract_pair_body(pair, fe: FrontendParams):
     if pair.dtype != jnp.float32:
         pair = pair.astype(jnp.float32) / 255.0  # same rounding as the host path
     # lax.map over the stereo pair: ONE traced extract body (compile cost of
@@ -82,28 +70,70 @@ def _fused_frame(
     # flip near-tie CCL partitions on some frames, and the detection deltas
     # compound through the pose chain (verified: ATE 0.03 -> 0.38 over 20
     # frames). lax.map runs the exact single-image program per element.
-    feats2 = jax.lax.map(lambda im: _fused_extract.__wrapped__(im, fe), pair)
-    fl = jax.tree_util.tree_map(lambda x: x[0], feats2)
-    fr = jax.tree_util.tree_map(lambda x: x[1], feats2)
+    return jax.lax.map(lambda im: _fused_extract.__wrapped__(im, fe), pair)
+
+
+_extract_pair = jax.jit(_extract_pair_body, static_argnums=(1,))
+
+
+def _track_pair_body(
+    fl: FrameFeatures,
+    fr: FrameFeatures,
+    T_last,
+    T_prevlast,
+    lm_plucker,
+    lm_ep3d,
+    lm_bits,
+    lm_validf,
+    fxb: float,
+    cam: Intrinsics,
+    sp: StereoParams,
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    po: PoseOptConfig,
+    min_inliers: int,
+):
+    from tpuslam.frontend.matcher import _track_stage_body
+
     depth, okf = _fused_stereo.__wrapped__(
         fl.midpoint, fl.angle, fl.length, fl.desc_bits, fl.valid, fl.endpoints,
         fr.midpoint, fr.angle, fr.length, fr.desc_bits, fr.valid, fr.endpoints,
         fxb, sp, 10.0,
     )
-    feats = fl._replace(depth=depth, has_depth=okf)
 
     # motion model on device: T_pred = (T_last @ inv(T_prevlast)) @ T_last
     T_pred = T_last @ se3_inverse(T_prevlast) @ T_last
-    pose_c, _, _, _, _, _ = _fused_track.__wrapped__(
-        T_pred, lm_plucker, lm_ep3d, lm_bits, lm_validf,
-        feats.midpoint, feats.angle, feats.desc_bits, feats.valid,
-        feats.endpoints, feats.sigma, feats.has_depth, cam, sc, po,
-    )
-    pose_f, midx, inlier, n_matched, n_inl, _ = _fused_track.__wrapped__(
-        pose_c, lm_plucker, lm_ep3d, lm_bits, lm_validf,
-        feats.midpoint, feats.angle, feats.desc_bits, feats.valid,
-        feats.endpoints, feats.sigma, feats.has_depth, cam, sf, po,
-    )
+
+    same_shape = sc._replace(radius=0.0) == sf._replace(radius=0.0)
+    if same_shape:
+        # scan the (coarse, fine) stages with a TRACED radius: the stage graph
+        # (projection gate + MXU match + pose-LM scan) is emitted ONCE per
+        # program — program size is what decides the remote-compile lottery
+        # and the >30-40 s degradation cliff (PERF_NOTES.md)
+        radii = jnp.asarray([sc.radius, sf.radius], jnp.float32)
+
+        def stage(pose, r):
+            res, m, n_matched = _track_stage_body(
+                pose, lm_plucker, lm_ep3d, lm_bits, lm_validf,
+                fl.midpoint, fl.angle, fl.desc_bits, fl.valid,
+                fl.endpoints, fl.sigma, cam, sc, po, radius=r,
+            )
+            return res.pose, (m.idx, res.inlier_lines, n_matched, res.num_inliers)
+
+        pose_f, (midx2, inl2, nm2, ni2) = jax.lax.scan(stage, T_pred, radii)
+        midx, inlier, n_matched, n_inl = midx2[1], inl2[1], nm2[1], ni2[1]
+    else:
+        res_c, _, _ = _track_stage_body(
+            T_pred, lm_plucker, lm_ep3d, lm_bits, lm_validf,
+            fl.midpoint, fl.angle, fl.desc_bits, fl.valid,
+            fl.endpoints, fl.sigma, cam, sc, po,
+        )
+        res_f, m_f, n_matched = _track_stage_body(
+            res_c.pose, lm_plucker, lm_ep3d, lm_bits, lm_validf,
+            fl.midpoint, fl.angle, fl.desc_bits, fl.valid,
+            fl.endpoints, fl.sigma, cam, sf, po,
+        )
+        pose_f, midx, inlier, n_inl = res_f.pose, m_f.idx, res_f.inlier_lines, res_f.num_inliers
 
     acceptf = (n_inl >= min_inliers).astype(jnp.float32)
     # SO(3) projection: the chain feeds back through se3_inverse products
@@ -117,18 +147,70 @@ def _fused_frame(
             T_acc.reshape(-1),
             n_matched[None].astype(jnp.float32),
             n_inl[None].astype(jnp.float32),
-            jnp.sum(feats.has_depth)[None],
+            jnp.sum(okf)[None],
             acceptf[None],
         ]
     )
-    return FusedFrameOut(
-        feats=feats,
-        match_idx=midx,
-        inlier=inlier,
-        packed=packed,
-        T_last=T_acc,
-        T_prevlast=T_prev_next,
+    return depth, okf, midx, inlier, packed, T_acc, T_prev_next
+
+
+def _split_track_args(fl: FrameFeatures, fr: FrameFeatures):
+    """Exactly the feature fields the track program reads, flat (unused
+    array args at jit boundaries trigger pathological compiles on this
+    backend — PERF_NOTES.md rule 3)."""
+    return (
+        fl.midpoint, fl.angle, fl.length, fl.desc_bits, fl.valid,
+        fl.endpoints, fl.sigma,
+        fr.midpoint, fr.angle, fr.length, fr.desc_bits, fr.valid, fr.endpoints,
     )
+
+
+@partial(jax.jit, static_argnums=(19, 20, 21, 22, 23, 24, 25))
+def _track_pair(
+    fl_mid, fl_ang, fl_len, fl_bits, fl_valid, fl_ep, fl_sigma,
+    fr_mid, fr_ang, fr_len, fr_bits, fr_valid, fr_ep,
+    T_last, T_prevlast,
+    lm_plucker, lm_ep3d, lm_bits, lm_validf,
+    fxb: float, cam: Intrinsics, sp: StereoParams,
+    sc: ProjectionSearchParams, sf: ProjectionSearchParams,
+    po: PoseOptConfig, min_inliers: int,
+):
+    fl = FrameFeatures(
+        endpoints=fl_ep, valid=fl_valid, angle=fl_ang, length=fl_len,
+        midpoint=fl_mid, response=None, level=None, sigma=fl_sigma,
+        desc=None, desc_bits=fl_bits, depth=None, has_depth=None,
+    )
+    fr = FrameFeatures(
+        endpoints=fr_ep, valid=fr_valid, angle=fr_ang, length=fr_len,
+        midpoint=fr_mid, response=None, level=None, sigma=None,
+        desc=None, desc_bits=fr_bits, depth=None, has_depth=None,
+    )
+    return _track_pair_body(
+        fl, fr, T_last, T_prevlast, lm_plucker, lm_ep3d, lm_bits, lm_validf,
+        fxb, cam, sp, sc, sf, po, min_inliers,
+    )
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
+def _fused_frame(
+    pair, T_last, T_prevlast,
+    lm_plucker, lm_ep3d, lm_bits, lm_validf,
+    fxb: float, cam: Intrinsics, fe: FrontendParams, sp: StereoParams,
+    sc: ProjectionSearchParams, sf: ProjectionSearchParams,
+    po: PoseOptConfig, min_inliers: int,
+):
+    """Single-program variant (TPUSLAM_FUSED_SPLIT=0): extract + track in one
+    dispatch. Minimum wire overhead, but the compile is large enough to lose
+    the remote-compile lottery regularly (observed >25 min), and one slow
+    compile degrades EVERY later dispatch in the process."""
+    feats2 = _extract_pair_body(pair, fe)
+    fl = jax.tree_util.tree_map(lambda x: x[0], feats2)
+    fr = jax.tree_util.tree_map(lambda x: x[1], feats2)
+    depth, okf, midx, inlier, packed, T_acc, T_prev = _track_pair_body(
+        fl, fr, T_last, T_prevlast, lm_plucker, lm_ep3d, lm_bits, lm_validf,
+        fxb, cam, sp, sc, sf, po, min_inliers,
+    )
+    return fl, depth, okf, midx, inlier, packed, T_acc, T_prev
 
 
 def fused_stereo_frame(
@@ -145,11 +227,36 @@ def fused_stereo_frame(
     po: PoseOptConfig,
     min_inliers: int,
 ) -> FusedFrameOut:
-    """One device dispatch for a full stereo tracking frame."""
-    return _fused_frame(
-        pair, T_last, T_prevlast,
-        local["plucker"], local["ep3d"], local["bits"], local["valid"],
-        float(fxb), cam, fe, sp, sc, sf, po, int(min_inliers),
+    """One stereo tracking frame on device: TWO dispatches by default
+    (extract-pair program + stereo/track program, pose chain and features
+    device-resident between them — each compiles well under the degradation
+    cliff), or ONE with TPUSLAM_FUSED_SPLIT=0."""
+    import os
+
+    statics = (float(fxb), cam, sp, sc, sf, po, int(min_inliers))
+    if os.environ.get("TPUSLAM_FUSED_SPLIT", "1") == "1":
+        feats2 = _extract_pair(pair, fe)
+        fl = jax.tree_util.tree_map(lambda x: x[0], feats2)
+        fr = jax.tree_util.tree_map(lambda x: x[1], feats2)
+        depth, okf, midx, inlier, packed, T_acc, T_prev = _track_pair(
+            *_split_track_args(fl, fr), T_last, T_prevlast,
+            local["plucker"], local["ep3d"], local["bits"], local["valid"],
+            *statics,
+        )
+    else:
+        fl, depth, okf, midx, inlier, packed, T_acc, T_prev = _fused_frame(
+            pair, T_last, T_prevlast,
+            local["plucker"], local["ep3d"], local["bits"], local["valid"],
+            float(fxb), cam, fe, sp, sc, sf, po, int(min_inliers),
+        )
+    feats = fl._replace(depth=depth, has_depth=okf)
+    return FusedFrameOut(
+        feats=feats,
+        match_idx=midx,
+        inlier=inlier,
+        packed=packed,
+        T_last=T_acc,
+        T_prevlast=T_prev,
     )
 
 

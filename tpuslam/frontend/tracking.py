@@ -42,6 +42,14 @@ from tpuslam.frontend.matcher import (
     tracked_pose_step,
     triangulate_stereo_lines,
 )
+from tpuslam.frontend.points import (
+    HybridTrackResult,
+    PointFrontendParams,
+    extract_points,
+    stereo_point_depths,
+    tracked_pose_step_hybrid,
+    triangulate_stereo_points,
+)
 from tpuslam.geometry.camera import Intrinsics
 from tpuslam.slammap.map import KeyFrame, SlamMap
 
@@ -88,6 +96,12 @@ class TrackerConfig:
     kf_tracked_ratio: float = 0.6  # new KF if inliers < ratio * ref tracked
     min_new_kf_lines: int = 30  # (stereo) close lines needed to defer KF
     local_window_kfs: int = 10
+    # hybrid point+line tracking (SURVEY §3.1 `MapPoint`, [P:6]): FAST/BRIEF
+    # corners feed 3-DoF point blocks next to the line blocks in the same
+    # pose LM / local BA. None = lines only. Stereo sync path (the hybrid
+    # step is not folded into the fused device pipeline yet).
+    points: Optional["PointFrontendParams"] = None
+    point_local_capacity: int = 512
 
 
 @dataclass
@@ -120,6 +134,7 @@ class Tracker:
         self._local_ids = np.zeros(cfg.local_capacity, np.int32)
         self._local_valid = np.zeros(cfg.local_capacity, bool)
         self._local_dirty = True
+        self._plocal_dirty = True
         # callbacks installed by the mapping back-end
         self.on_new_keyframe = None
         # keyframe database for relocalization (installed by System)
@@ -127,6 +142,11 @@ class Tracker:
         self.n_relocalizations = 0
         # pipelined-mode state: the in-flight previous frame
         self._pending = None
+        # hybrid point front-end state (cfg.points)
+        self._cur_pfeats = None  # this frame's PointFeatures (stereo depths)
+        self._cur_p_match = None  # (p_match_idx, p_inlier) of the last fine step
+        self._plocal_ids = np.zeros(cfg.point_local_capacity, np.int32)
+        self._plocal_valid = np.zeros(cfg.point_local_capacity, bool)
         # fused-pipeline state (frontend/pipeline.py)
         self._completed: deque = deque()  # FrameResults finished this call
         self._up_pending = None  # (frame_idx, ts, upload handle)
@@ -145,6 +165,10 @@ class Tracker:
         fl = extract_features(jnp.asarray(_img_f32(img_left)), self.cfg.frontend)
         fr = extract_features(jnp.asarray(_img_f32(img_right)), self.cfg.frontend)
         feats = stereo_line_depths(fl, fr, self._fxb, self.cfg.stereo)
+        if self.cfg.points is not None:
+            pl = extract_points(jnp.asarray(_img_f32(img_left)), self.cfg.points)
+            pr_ = extract_points(jnp.asarray(_img_f32(img_right)), self.cfg.points)
+            self._cur_pfeats = stereo_point_depths(pl, pr_, self._fxb, self.cfg.points)
         r = self._track(feats, timestamp, stereo=True)
         if r is not None:
             self._completed.append(r)
@@ -167,6 +191,7 @@ class Tracker:
         return (
             self.cfg.pipelined
             and self.cfg.fused
+            and self.cfg.points is None  # hybrid runs on the sync path
             and os.environ.get("TPUSLAM_FUSED", "1") == "1"
         )
 
@@ -413,7 +438,7 @@ class Tracker:
                 made_keyframe=ok,
             )
 
-        if self.cfg.pipelined:
+        if self.cfg.pipelined and self.cfg.points is None:
             return self._track_pipelined(feats, timestamp, stereo)
         return self._track_frame_sync(feats, timestamp, stereo, relocalize=True)
 
@@ -437,28 +462,31 @@ class Tracker:
         )
 
         local = self._local_map_arrays()
-        coarse: TrackStepResult = tracked_pose_step(
-            jnp.asarray(T_pred),
-            local["plucker"],
-            local["ep3d"],
-            local["bits"],
-            local["valid"],
-            feats,
-            self.cam,
-            self.cfg.search_coarse,
-            self.cfg.pose_opt,
-        )
-        fine: TrackStepResult = tracked_pose_step(
-            coarse.pose,
-            local["plucker"],
-            local["ep3d"],
-            local["bits"],
-            local["valid"],
-            feats,
-            self.cam,
-            self.cfg.search_fine,
-            self.cfg.pose_opt,
-        )
+        if self._cur_pfeats is not None:
+            fine = self._track_hybrid_stages(jnp.asarray(T_pred), local, feats)
+        else:
+            coarse: TrackStepResult = tracked_pose_step(
+                jnp.asarray(T_pred),
+                local["plucker"],
+                local["ep3d"],
+                local["bits"],
+                local["valid"],
+                feats,
+                self.cam,
+                self.cfg.search_coarse,
+                self.cfg.pose_opt,
+            )
+            fine = tracked_pose_step(
+                coarse.pose,
+                local["plucker"],
+                local["ep3d"],
+                local["bits"],
+                local["valid"],
+                feats,
+                self.cam,
+                self.cfg.search_fine,
+                self.cfg.pose_opt,
+            )
         n_matches = int(fine.num_matched)
         n_inliers = int(fine.num_inliers)
 
@@ -502,6 +530,87 @@ class Tracker:
             made_kf,
         )
 
+    # ---- hybrid point+line stages ---------------------------------------
+    def _track_hybrid_stages(self, T_pred, local, feats: FrameFeatures) -> TrackStepResult:
+        """Coarse + fine hybrid steps (lines AND points in one pose LM).
+
+        Returns the line view as a TrackStepResult (KF creation binds lines
+        through it) and stashes the point matches in `_cur_p_match`.
+        num_matched/num_inliers are the COMBINED counts — the acceptance and
+        keyframe-policy thresholds see the full constraint budget, as the
+        reference's hybrid tracking does.
+        """
+        plocal = self._point_local_arrays()
+        pf = self._cur_pfeats
+        coarse: HybridTrackResult = tracked_pose_step_hybrid(
+            T_pred, local, plocal, feats, pf, self.cam,
+            self.cfg.search_coarse, self.cfg.points, self.cfg.pose_opt,
+        )
+        fine: HybridTrackResult = tracked_pose_step_hybrid(
+            coarse.pose, local, plocal, feats, pf, self.cam,
+            self.cfg.search_fine, self.cfg.points, self.cfg.pose_opt,
+        )
+        packed = np.asarray(fine.packed)
+        self._cur_p_match = (np.asarray(fine.p_match_idx), np.asarray(fine.p_inlier))
+        return TrackStepResult(
+            pose=packed[:16].reshape(4, 4).astype(np.float32),
+            match_idx=fine.l_match_idx,
+            inlier=fine.l_inlier,
+            num_matched=int(packed[16]),
+            num_inliers=int(packed[17]),
+        )
+
+    def _point_local_arrays(self):
+        if not self._plocal_dirty and hasattr(self, "_plocal_dev"):
+            return self._plocal_dev
+        NP_ = self.cfg.point_local_capacity
+        pids: List[int] = []
+        if self.ref_kf is not None and self.ref_kf in self.map.keyframes:
+            window = [self.ref_kf] + self.map.covisible_keyframes(
+                self.ref_kf, n=self.cfg.local_window_kfs - 1
+            )
+            pids = self.map.window_point_ids(window)
+        pids = [p for p in pids if self.map.points.alive[p]][:NP_]
+        n = len(pids)
+        ids = np.zeros(NP_, np.int32)
+        ids[:n] = pids
+        valid = np.zeros(NP_, np.float32)
+        valid[:n] = 1.0
+        self._plocal_ids = ids
+        self._plocal_valid = valid > 0.5
+        st = self.map.points
+        self._plocal_dev = dict(
+            xyz=jnp.asarray(st.xyz[ids]),
+            bits=jnp.asarray(st.desc_bits[ids]),
+            valid=jnp.asarray(valid),
+        )
+        self._plocal_dirty = False
+        return self._plocal_dev
+
+    def _bind_point_landmarks(self, kf: KeyFrame):
+        """KF creation, point half: bind tracked point inliers and create
+        new landmarks from unmatched stereo-depth corners."""
+        pf = self._cur_pfeats
+        if pf is None or kf.point_ids is None:
+            return
+        if self._cur_p_match is not None:
+            p_idx, p_inl = self._cur_p_match
+            for i in np.nonzero((p_inl > 0.5) & (p_idx >= 0))[0]:
+                pid = int(self._plocal_ids[i])
+                if self._plocal_valid[i] and self.map.points.alive[pid]:
+                    slot = int(p_idx[i])
+                    if kf.point_ids[slot] < 0:
+                        self.map.points.add_observation(pid, kf, slot)
+        xyz, okf = triangulate_stereo_points(
+            jnp.asarray(np.linalg.inv(self.T_cw)), pf, self.cam
+        )
+        ok = (np.asarray(okf) > 0.5) & (kf.point_ids < 0)
+        xyz = np.asarray(xyz)
+        bits = np.asarray(kf.point_features.desc_bits)
+        for slot in np.nonzero(ok)[0]:
+            pid = self.map.points.allocate(xyz[slot], bits[slot], kf.kid)
+            self.map.points.add_observation(pid, kf, int(slot))
+
     # ---- initialization -------------------------------------------------
     def _initialize(self, feats: FrameFeatures, timestamp: float, stereo: bool) -> bool:
         if not stereo:
@@ -512,15 +621,23 @@ class Tracker:
         ok = np.asarray(ok) > 0.5
         if ok.sum() < self.cfg.min_init_lines:
             return False
-        kf = self.map.new_keyframe(self.frame_idx, timestamp, self.T_cw, feats)
+        kf = self.map.new_keyframe(
+            self.frame_idx, timestamp, self.T_cw, feats,
+            point_features=self._cur_pfeats,
+        )
         self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)
+        self._cur_p_match = None  # no tracked points at init
+        self._bind_point_landmarks(kf)
         self.map.update_connections(kf)
         self.ref_kf = kf.kid
-        self.ref_tracked = int(ok.sum())
+        self.ref_tracked = int(ok.sum()) + (
+            int(np.sum(kf.point_ids >= 0)) if kf.point_ids is not None else 0
+        )
         self.last_kf_frame = self.frame_idx
         self.last_T_cw = self.T_cw.copy()
         self.state = TrackingState.OK
         self._local_dirty = True
+        self._plocal_dirty = True
         if self.on_new_keyframe:
             self.on_new_keyframe(kf)
         return True
@@ -553,6 +670,7 @@ class Tracker:
         self.last_kf_frame = self.frame_idx
         self.state = TrackingState.OK
         self._local_dirty = True
+        self._plocal_dirty = True
         if self.on_new_keyframe:
             self.on_new_keyframe(kf0)
             self.on_new_keyframe(kf1)
@@ -588,7 +706,10 @@ class Tracker:
         if local_ids is None:
             local_ids = self._local_ids
             local_valid = self._local_valid
-        kf = self.map.new_keyframe(self.frame_idx, timestamp, self.T_cw, feats)
+        kf = self.map.new_keyframe(
+            self.frame_idx, timestamp, self.T_cw, feats,
+            point_features=self._cur_pfeats,
+        )
         # bind tracked landmarks: local slot i -> frame slot fine.match_idx[i]
         match_idx = np.asarray(fine.match_idx)
         inlier = np.asarray(fine.inlier) > 0.5
@@ -605,11 +726,17 @@ class Tracker:
             )
             ok = (np.asarray(ok) > 0.5) & (kf.line_ids < 0)
             self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)
+            self._bind_point_landmarks(kf)
         self.map.update_connections(kf)
         self.ref_kf = kf.kid
-        self.ref_tracked = max(int(np.sum(kf.line_ids >= 0)), 1)
+        self.ref_tracked = max(
+            int(np.sum(kf.line_ids >= 0))
+            + (int(np.sum(kf.point_ids >= 0)) if kf.point_ids is not None else 0),
+            1,
+        )
         self.last_kf_frame = self.frame_idx
         self._local_dirty = True
+        self._plocal_dirty = True
         if self.on_new_keyframe:
             self.on_new_keyframe(kf)
 
@@ -657,6 +784,7 @@ class Tracker:
         self._local_ids = ids
         self._local_valid = valid > 0.5
         self._local_dirty = True
+        self._plocal_dirty = True
         return res
 
     # ---- relocalization -------------------------------------------------
@@ -702,6 +830,7 @@ class Tracker:
                 self.n_relocalizations += 1
                 self.state = TrackingState.OK
                 self._local_dirty = True
+                self._plocal_dirty = True
                 return np.asarray(res.pose)
             # DLT-Lines reseed (SURVEY §5, [P:9]): the descriptor matches are
             # pose-independent, but LM seeded at a distant candidate pose can
@@ -713,6 +842,7 @@ class Tracker:
                 self.n_relocalizations += 1
                 self.state = TrackingState.OK
                 self._local_dirty = True
+                self._plocal_dirty = True
                 return np.asarray(res2.pose)
         return None
 
@@ -765,6 +895,7 @@ class Tracker:
     def invalidate_local_map(self):
         """Call after mapping/BA mutates landmark geometry."""
         self._local_dirty = True
+        self._plocal_dirty = True
 
     def adopt_pose(self, T_cw: np.ndarray):
         """Reset the motion-model chain onto an externally corrected pose

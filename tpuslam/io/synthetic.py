@@ -307,9 +307,17 @@ def render_wireframe_image(
     thickness: int = 2,
     noise: float = 2.0,
     rng: np.random.Generator | None = None,
+    draw_points: bool = False,
+    dot_radius: int = 2,
 ) -> np.ndarray:
     """Render a grayscale uint8 image of the wireframe via cv2 line drawing
-    (test fixture for the LSD/LBD kernels; cv2 is a test-only dependency)."""
+    (test fixture for the LSD/LBD kernels; cv2 is a test-only dependency).
+
+    With ``draw_points`` the scene's 3D points render as filled dots of
+    ``dot_radius`` px: a dot smaller than FAST's radius-3 test circle makes
+    its CENTER pixel a maximal FAST corner, so the detected corner uv is the
+    projection of the 3D point (the fixture for the hybrid point front-end).
+    """
     import cv2
 
     cam = scene.cam
@@ -321,6 +329,39 @@ def render_wireframe_image(
         p = tuple(np.round(obs.seg_uv[s, 0]).astype(int))
         q = tuple(np.round(obs.seg_uv[s, 1]).astype(int))
         cv2.line(img, p, q, float(fg), thickness, lineType=cv2.LINE_AA)
+    if draw_points:
+        # Gaussian splats, NOT cv2.circle: small filled circles rasterize
+        # without anti-aliasing, which erases the very subpixel disparity
+        # fraction the detector's refinement is tested against. The splat is
+        # evaluated at the exact projected center.
+        H, W = img.shape
+
+        def splat(cx, cy, sigma, amp):
+            r = int(3 * sigma) + 2
+            x0, x1 = int(np.floor(cx)) - r, int(np.floor(cx)) + r + 1
+            y0, y1 = int(np.floor(cy)) - r, int(np.floor(cy)) + r + 1
+            x0c, x1c = max(x0, 0), min(x1, W)
+            y0c, y1c = max(y0, 0), min(y1, H)
+            if x0c >= x1c or y0c >= y1c:
+                return
+            xs = np.arange(x0c, x1c, dtype=np.float32) - cx
+            ys = np.arange(y0c, y1c, dtype=np.float32) - cy
+            g = np.exp(-(ys[:, None] ** 2 + xs[None, :] ** 2) / (2.0 * sigma * sigma))
+            img[y0c:y1c, x0c:x1c] -= amp * g
+
+        amp = float(bg - fg)
+        for q_ in np.nonzero(obs.pt_visible)[0]:
+            cx, cy = float(obs.pt_uv[q_, 0]), float(obs.pt_uv[q_, 1])
+            splat(cx, cy, 0.5 * dot_radius + 0.5, amp)
+            # per-point satellite dots at FIXED image offsets: give BRIEF a
+            # distinctive, view-stable pattern inside its 13 px reach while
+            # the center dot stays the exact projection of the 3D point
+            # (identical plain dots would all tie under the Lowe ratio test)
+            rsq = np.random.RandomState(1000 + int(q_))
+            for o in rsq.randint(-9, 10, (3, 2)):
+                if np.max(np.abs(o)) >= 4:  # keep satellites off the center
+                    splat(cx + float(o[0]), cy + float(o[1]), 0.8, amp)
+        np.clip(img, 0, 255, out=img)
     if noise > 0 and rng is not None:
         img = img + rng.normal(size=img.shape) * noise
     return np.clip(img, 0, 255).astype(np.uint8)

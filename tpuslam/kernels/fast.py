@@ -157,7 +157,32 @@ def detect_corners(img: jnp.ndarray, max_points: int = 256, params: FASTParams =
     top, idx = jax.lax.top_k(flat_score, K)
     ky, kx = jnp.divmod(idx, W)
     validf = (top > 0.0).astype(jnp.float32)
-    uv = jnp.stack([kx.astype(jnp.float32), ky.astype(jnp.float32)], axis=-1)
+
+    # sub-pixel refinement: polarity-aware contrast centroid over a 7x7
+    # window. Integer corner coords quantize stereo disparity (a few px at
+    # SLAM working depths) into >10% depth error. Parabolic fits on the FAST
+    # score/excess fields fail (plateau-shaped peaks); a plain |I - mean|
+    # centroid fails when the feature fills half the window. The polarity of
+    # the firing arc (darker vs brighter than the ring) selects the right
+    # contrast measure: centroid of (local max - I) for dark features,
+    # (I - local min) for bright — subpixel-exact for symmetric blobs, and a
+    # VIEW-CONSISTENT bias for generic corners (identical left/right
+    # appearance -> the bias cancels in disparity).
+    RW = 3
+    win = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(I, (y - RW, x - RW), (2 * RW + 1, 2 * RW + 1))
+    )(jnp.maximum(ky, RW), jnp.maximum(kx, RW))  # (K, 7, 7)
+    darkf = jax.vmap(lambda y, x: (exc_b[y, x] > exc_d[y, x]).astype(jnp.float32))(ky, kx)
+    w_dark = jnp.max(win, axis=(1, 2), keepdims=True) - win
+    w_bright = win - jnp.min(win, axis=(1, 2), keepdims=True)
+    w = darkf[:, None, None] * w_dark + (1.0 - darkf)[:, None, None] * w_bright
+    grid = jnp.arange(-RW, RW + 1, dtype=jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w, axis=(1, 2)), 1e-6)
+    dy = jnp.clip(jnp.sum(w * grid[None, :, None], axis=(1, 2)) / wsum, -1.0, 1.0)
+    dx = jnp.clip(jnp.sum(w * grid[None, None, :], axis=(1, 2)) / wsum, -1.0, 1.0)
+    uv = jnp.stack(
+        [kx.astype(jnp.float32) + dx, ky.astype(jnp.float32) + dy], axis=-1
+    )
 
     # ---- BRIEF on one contiguous patch per corner -------------------------
     S = gaussian_blur(I, params.blur_sigma)

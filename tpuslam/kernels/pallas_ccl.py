@@ -1,15 +1,21 @@
 """Pallas TPU kernel for the LSD connected-component propagation loop.
 
 The XLA scan in kernels/lsd.py round-trips the label image through HBM every
-round (~25 us/round measured). This kernel keeps labels, the max-label
-channel, and the bit-packed compatibility masks VMEM-resident for all R
-rounds — one HBM read + one write total — so rounds cost pure VPU time.
+round. This kernel runs all R rounds VMEM-resident.
+
+Strip-tiled with an R-row halo: information travels at most one cell per
+propagation round, so R rounds of the full-image recurrence restricted to a
+strip plus R halo rows are BITWISE identical to the full-image result on the
+strip's central rows. Each grid step therefore loads (strip + 2R) x W once,
+does R rounds of pure VPU work, and writes its strip rows — the redundant
+halo compute is the price of bounding the VMEM live set (a whole-frame VGA
+variant exceeded the 16 MB scoped-vmem limit: Mosaic keeps the 8 shifted
+neighbor temporaries live, ~18 MB at 480 x 640).
 
 Math is IDENTICAL to lsd._ccl_xla (masked 8-neighbor min/max propagation on
 a bit-packed compat plane); parity is asserted in tests/test_pallas.py via
-interpret mode. VGA needs ~3.7 MB of VMEM (3 i32 planes); KITTI-resolution
-(padded to 384x1280) ~5.9 MB — both fit the ~16 MB budget, so blocks are
-whole arrays with a single grid step.
+interpret mode, and the strip/halo equivalence is tested against the XLA
+twin at several strip sizes.
 """
 
 from __future__ import annotations
@@ -49,13 +55,13 @@ def _shift_fill(x: jnp.ndarray, dy: int, dx: int, fill):
     return x
 
 
-def _ccl_kernel(lab_ref, mx_ref, cb_ref, lab_out, mx_out, *, rounds: int, big: int):
+def _ccl_kernel(lab_ref, mx_ref, cb_ref, lab_out, mx_out, *, rounds: int, big: int, strip: int):
     # Two sequential single-channel loops instead of one joint loop: halves
-    # the peak VMEM live set (a joint loop at VGA exceeded the 16 MB scoped
-    # vmem limit); rounds are pure VPU time either way.
-    cb = cb_ref[:]
+    # the peak VMEM live set; rounds are pure VPU time either way.
+    cb = cb_ref[0]
     BIG = jnp.int32(big)
     NEG = jnp.int32(-1)
+    R = rounds
 
     def lab_body(_, lab):
         lm = lab
@@ -64,7 +70,8 @@ def _ccl_kernel(lab_ref, mx_ref, cb_ref, lab_out, mx_out, *, rounds: int, big: i
             lm = jnp.minimum(lm, jnp.where(ok, _shift_fill(lab, dy, dx, BIG), BIG))
         return lm
 
-    lab_out[:] = jax.lax.fori_loop(0, rounds, lab_body, lab_ref[:])
+    lab = jax.lax.fori_loop(0, rounds, lab_body, lab_ref[0])
+    lab_out[0] = lab[R : R + strip]
 
     def mx_body(_, mx):
         mm = mx
@@ -73,7 +80,8 @@ def _ccl_kernel(lab_ref, mx_ref, cb_ref, lab_out, mx_out, *, rounds: int, big: i
             mm = jnp.maximum(mm, jnp.where(ok, _shift_fill(mx, dy, dx, NEG), NEG))
         return mm
 
-    mx_out[:] = jax.lax.fori_loop(0, rounds, mx_body, mx_ref[:])
+    mx = jax.lax.fori_loop(0, rounds, mx_body, mx_ref[0])
+    mx_out[0] = mx[R : R + strip]
 
 
 def ccl_propagate_pallas(
@@ -82,24 +90,38 @@ def ccl_propagate_pallas(
     compat_bits: jnp.ndarray,  # (H, W) i32, bit d = neighbor d compatible
     rounds: int,
     interpret: bool | None = None,
+    strip: int = 96,
 ):
     H, W = labels.shape
+    R = rounds
+    big = H * W
     if interpret is None:
         interpret = jax.default_backend() in ("cpu",)
-    specs = (
-        [pl.BlockSpec(memory_space=_VMEM)] * 3 if _VMEM is not None and not interpret
-        else [pl.BlockSpec()] * 3
-    )
-    out_specs = specs[:2]
-    kernel = functools.partial(_ccl_kernel, rounds=rounds, big=H * W)
-    return pl.pallas_call(
+    n = -(-H // strip)
+    Hp = n * strip
+
+    def stack_strips(x, fill):
+        xp = jnp.pad(x, ((R, Hp - H + R), (0, 0)), constant_values=fill)
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(xp, (s, 0), (strip + 2 * R, W))
+        )(jnp.arange(n) * strip)
+
+    labs = stack_strips(labels, big)
+    mxs = stack_strips(maxlab, -1)
+    cbs = stack_strips(compat_bits, 0)  # compat 0 blocks cross-halo flow
+
+    block_in = pl.BlockSpec((1, strip + 2 * R, W), lambda i: (i, 0, 0))
+    block_out = pl.BlockSpec((1, strip, W), lambda i: (i, 0, 0))
+    kernel = functools.partial(_ccl_kernel, rounds=rounds, big=big, strip=strip)
+    lab_o, mx_o = pl.pallas_call(
         kernel,
+        grid=(n,),
         out_shape=[
-            jax.ShapeDtypeStruct((H, W), jnp.int32),
-            jax.ShapeDtypeStruct((H, W), jnp.int32),
+            jax.ShapeDtypeStruct((n, strip, W), jnp.int32),
+            jax.ShapeDtypeStruct((n, strip, W), jnp.int32),
         ],
-        in_specs=specs,
-        out_specs=out_specs,
-        input_output_aliases={0: 0, 1: 1},  # reuse label/maxlab buffers
+        in_specs=[block_in] * 3,
+        out_specs=[block_out] * 2,
         interpret=interpret,
-    )(labels, maxlab, compat_bits)
+    )(labs, mxs, cbs)
+    return lab_o.reshape(Hp, W)[:H], mx_o.reshape(Hp, W)[:H]

@@ -48,6 +48,10 @@ class KeyFrame:
     parent: Optional[int] = None
     children: set = field(default_factory=set)
     loop_edges: set = field(default_factory=set)
+    # hybrid point landmarks (SURVEY §3.1 `MapPoint`): present only when the
+    # point front-end is enabled; None keeps line-only maps lightweight
+    point_features: Optional[object] = None  # kernels.fast.PointFeatures (np)
+    point_ids: Optional[np.ndarray] = None  # (KP,) int32 slot -> MapPoint id
 
     @property
     def T_wc(self) -> np.ndarray:
@@ -156,9 +160,12 @@ class MapLineStore:
 class SlamMap:
     """Global map: keyframes + line landmarks + covisibility graph."""
 
-    def __init__(self, line_capacity: int = 16384):
+    def __init__(self, line_capacity: int = 16384, point_capacity: int = 16384):
+        from tpuslam.slammap.points import MapPointStore
+
         self.keyframes: Dict[int, KeyFrame] = {}
         self.lines = MapLineStore(line_capacity)
+        self.points = MapPointStore(point_capacity)
         self._next_kid = 0
         # covisibility: kf id -> {other kf id: shared landmark count}
         self.covis: Dict[int, Dict[int, int]] = {}
@@ -169,7 +176,12 @@ class SlamMap:
 
     # ---- keyframes ------------------------------------------------------
     def new_keyframe(
-        self, frame_idx: int, timestamp: float, T_cw: np.ndarray, features: FrameFeatures
+        self,
+        frame_idx: int,
+        timestamp: float,
+        T_cw: np.ndarray,
+        features: FrameFeatures,
+        point_features=None,
     ) -> KeyFrame:
         f = _as_np(features)
         kf = KeyFrame(
@@ -180,6 +192,10 @@ class SlamMap:
             features=f,
             line_ids=np.full(f.valid.shape[0], -1, np.int32),
         )
+        if point_features is not None:
+            pf = type(point_features)(*[np.asarray(x) for x in point_features])
+            kf.point_features = pf
+            kf.point_ids = np.full(pf.valid.shape[0], -1, np.int32)
         self._next_kid += 1
         self.keyframes[kf.kid] = kf
         self.covis[kf.kid] = {}
@@ -194,6 +210,10 @@ class SlamMap:
         for lid in np.unique(kf.line_ids):
             if lid >= 0:
                 self.lines.erase_observation(int(lid), kf)
+        if kf.point_ids is not None:
+            for pid in np.unique(kf.point_ids):
+                if pid >= 0:
+                    self.points.erase_observation(int(pid), kf)
         for other in list(self.covis.get(kid, {})):
             self.covis.get(other, {}).pop(kid, None)
         self.covis.pop(kid, None)
@@ -222,6 +242,13 @@ class SlamMap:
             for kid in self.lines.obs.get(int(lid), {}):
                 if kid != kf.kid:
                     counts[kid] = counts.get(kid, 0) + 1
+        if kf.point_ids is not None:
+            for pid in kf.point_ids:
+                if pid < 0:
+                    continue
+                for kid in self.points.obs.get(int(pid), {}):
+                    if kid != kf.kid:
+                        counts[kid] = counts.get(kid, 0) + 1
         old = self.covis.get(kf.kid, {})
         for other in list(old):
             if other not in counts:
@@ -257,6 +284,17 @@ class SlamMap:
             kf = self.keyframes[k]
             lids.update(int(l) for l in kf.line_ids if l >= 0)
         return window, sorted(lids)
+
+    def window_point_ids(self, window: List[int]) -> List[int]:
+        """Point landmarks observed by a keyframe window (hybrid local BA /
+        local-map assembly; companion to `local_window`'s line ids)."""
+        pids = set()
+        for k in window:
+            kf = self.keyframes.get(k)
+            if kf is None or kf.point_ids is None:
+                continue
+            pids.update(int(p) for p in kf.point_ids if p >= 0)
+        return sorted(pids)
 
     def essential_edges(self, min_weight: int = 100) -> List[Tuple[int, int]]:
         """Essential graph: spanning tree + loop edges + strong covis edges."""

@@ -13,9 +13,11 @@ import json
 import numpy as np
 
 from tpuslam.frontend.frame import FrameFeatures
+from tpuslam.kernels.fast import PointFeatures
 from tpuslam.slammap.map import KeyFrame, SlamMap
 
 _FEATURE_FIELDS = list(FrameFeatures._fields)
+_POINT_FIELDS = list(PointFeatures._fields)
 
 
 def save_map(slam_map: SlamMap, path: str):
@@ -36,6 +38,10 @@ def save_map(slam_map: SlamMap, path: str):
         arrays[f"kf{kid}_line_ids"] = kf.line_ids
         for name in _FEATURE_FIELDS:
             arrays[f"kf{kid}_f_{name}"] = np.asarray(getattr(kf.features, name))
+        if kf.point_ids is not None:
+            arrays[f"kf{kid}_point_ids"] = kf.point_ids
+            for name in _POINT_FIELDS:
+                arrays[f"kf{kid}_p_{name}"] = np.asarray(getattr(kf.point_features, name))
     meta["covis"] = {str(k): v for k, v in slam_map.covis.items()}
 
     st = slam_map.lines
@@ -48,6 +54,17 @@ def save_map(slam_map: SlamMap, path: str):
     meta["lines_obs"] = {str(k): v for k, v in st.obs.items()}
     meta["lines_next"] = st._next
     meta["lines_free"] = st._free
+
+    pt = slam_map.points
+    if len(pt.obs) or pt._next:
+        arrays["points_xyz"] = pt.xyz
+        arrays["points_alive"] = pt.alive
+        arrays["points_desc"] = pt.desc_bits
+        arrays["points_n_obs"] = pt.n_obs
+        arrays["points_first_kf"] = pt.first_kf
+        meta["points_obs"] = {str(k): v for k, v in pt.obs.items()}
+        meta["points_next"] = pt._next
+        meta["points_free"] = pt._free
 
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
@@ -71,6 +88,11 @@ def load_map(path: str) -> SlamMap:
             children=set(e["children"]),
             loop_edges=set(e["loop_edges"]),
         )
+        if f"kf{kid}_point_ids" in data:
+            kf.point_ids = data[f"kf{kid}_point_ids"]
+            kf.point_features = PointFeatures(
+                *[data[f"kf{kid}_p_{name}"] for name in _POINT_FIELDS]
+            )
         m.keyframes[kid] = kf
     m.covis = {int(k): {int(kk): vv for kk, vv in v.items()} for k, v in meta["covis"].items()}
 
@@ -93,4 +115,24 @@ def load_map(path: str) -> SlamMap:
     }
     st._next = meta["lines_next"]
     st._free = list(meta["lines_free"])
+
+    if "points_xyz" in data:
+        pt = m.points
+        n = data["points_xyz"].shape[0]
+        if n > pt.capacity:
+            from tpuslam.slammap.points import MapPointStore
+
+            pt = MapPointStore(capacity=n)
+            m.points = pt
+        pt.xyz[:n] = data["points_xyz"]
+        pt.alive[:n] = data["points_alive"]
+        pt.desc_bits[:n] = data["points_desc"]
+        pt.n_obs[:n] = data["points_n_obs"]
+        pt.first_kf[:n] = data["points_first_kf"]
+        pt.obs = {
+            int(k): {int(kk): int(vv) for kk, vv in v.items()}
+            for k, v in meta["points_obs"].items()
+        }
+        pt._next = meta["points_next"]
+        pt._free = list(meta["points_free"])
     return m
