@@ -1,0 +1,81 @@
+"""Persistent BA solver subprocess (backend/ba_worker.py).
+
+On the chip this is the production mapping path (the reference's background
+mapping thread analog); these tests drive the same worker + async pipeline
+on CPU: solve parity vs in-process, and the full System loop with
+TPUSLAM_BA_SUBPROCESS=1 (async submit/apply across keyframes + drain)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuslam.geometry.camera import Intrinsics
+
+CAM = Intrinsics(fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240, baseline=0.1)
+
+
+@pytest.fixture
+def worker():
+    from tpuslam.backend.ba_worker import BASolverWorker
+
+    os.environ["TPUSLAM_BA_WORKER_WARMUP"] = "0"
+    w = BASolverWorker(CAM, warm_caps=())
+    yield w
+    w.close()
+
+
+def test_worker_solve_matches_in_process(rng, worker):
+    from tpuslam.backend.local_ba import LocalBAConfig, solve_in_process
+    from tpuslam.parallel.sharded_ba import _toy_problem
+
+    cfg = LocalBAConfig()
+    prob = _toy_problem(rng, P_=4, L=32, OL=128, cam=CAM)
+    ref = solve_in_process(prob, CAM, cfg)
+    res, err = worker.solve(
+        {f: np.asarray(getattr(prob, f)) for f in prob._fields},
+        cfg.lm, cfg.chi2_line, cfg.chi2_point, timeout=600.0,
+    )
+    assert err is None, err
+    np.testing.assert_allclose(res["poses"], ref["poses"], atol=1e-5)
+    np.testing.assert_allclose(res["lines"], ref["lines"], atol=1e-5)
+    np.testing.assert_allclose(res["cost"], ref["cost"], rtol=1e-4)
+    np.testing.assert_array_equal(res["inl_l"], ref["inl_l"])
+
+
+def test_system_with_worker_mapping(rng):
+    """Full System run with the async worker-backed mapper: tracking stays
+    OK, BA results get applied (last_ba set after drain), trajectory sane."""
+    from tpuslam.eval.ate import absolute_trajectory_error
+    from tpuslam.frontend.tracking import TrackerConfig, TrackingState
+    from tpuslam.io.synthetic import make_wireframe_scene, render_wireframe_image
+    from tpuslam.system import System
+
+    os.environ["TPUSLAM_BA_SUBPROCESS"] = "1"
+    os.environ["TPUSLAM_BA_WORKER_WARMUP"] = "0"
+    try:
+        n = 12
+        scene = make_wireframe_scene(rng, n_segments=110, n_frames=n, cam=CAM, motion_scale=0.015)
+        Tb = np.eye(4, dtype=np.float32)
+        Tb[0, 3] = -CAM.baseline
+        scene_r = scene._replace(poses=np.stack([Tb @ T for T in scene.poses]))
+        sys_ = System(
+            CAM, sensor="stereo", loop_closing=False, mapping=True,
+            tracker_cfg=TrackerConfig(max_frames_between_kf=3),
+        )
+        assert sys_._ba_worker is not None
+        for f in range(n):
+            il = render_wireframe_image(scene, f, noise=1.0, rng=rng)
+            ir = render_wireframe_image(scene_r, f, noise=1.0, rng=rng)
+            sys_.track_stereo(il, ir, f * 0.05)
+        sys_.shutdown()
+        traj = sys_.trajectory
+        assert all(r.state == TrackingState.OK for r in traj)
+        assert sys_.mapper.last_ba is not None, "async BA result never applied"
+        assert sys_.mapper._ba_ctx is None, "in-flight solve not drained"
+        est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in traj])
+        gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj])
+        assert absolute_trajectory_error(est, gt).rmse < 0.05
+    finally:
+        os.environ.pop("TPUSLAM_BA_SUBPROCESS", None)
+        os.environ.pop("TPUSLAM_BA_WORKER_WARMUP", None)

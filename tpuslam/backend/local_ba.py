@@ -67,6 +67,7 @@ def build_problem(
     caps: Tuple[int, int, int],
     point_ids: List[int] | None = None,
     point_caps: Tuple[int, int] = (1, 1),
+    as_numpy: bool = False,
 ) -> Tuple[BAProblem, List[int], List[int], np.ndarray, np.ndarray]:
     """Gather a padded BAProblem. Returns (problem, kf_order, line_order,
     obs_table (n_obs, 3) of [kf_pos, line_pos, feature_slot], p_obs_table
@@ -143,23 +144,26 @@ def build_problem(
         l_valid[r] = 1.0
         obs_table[r] = (pi, li, slot)
 
+    # jnp.asarray is identity on numpy inputs when as_numpy (worker RPC
+    # path pickles plain numpy; the local path uploads to the device here)
+    wrap = (lambda x: x) if as_numpy else jnp.asarray
     prob = BAProblem(
-        poses=jnp.asarray(poses),
-        pose_free=jnp.asarray(pose_free),
-        lines=jnp.asarray(lines),
-        line_valid=jnp.asarray(line_valid),
-        points=jnp.asarray(points),
-        point_valid=jnp.asarray(point_valid),
-        l_pose=jnp.asarray(l_pose),
-        l_line=jnp.asarray(l_line),
-        l_endpoints=jnp.asarray(l_ep),
-        l_valid=jnp.asarray(l_valid),
-        l_sigma=jnp.asarray(l_sigma),
-        p_pose=jnp.asarray(p_pose),
-        p_point=jnp.asarray(p_point),
-        p_uv=jnp.asarray(p_uv),
-        p_valid=jnp.asarray(p_valid),
-        p_sigma=jnp.ones(OP, jnp.float32),
+        poses=wrap(poses),
+        pose_free=wrap(pose_free),
+        lines=wrap(lines),
+        line_valid=wrap(line_valid),
+        points=wrap(points),
+        point_valid=wrap(point_valid),
+        l_pose=wrap(l_pose),
+        l_line=wrap(l_line),
+        l_endpoints=wrap(l_ep),
+        l_valid=wrap(l_valid),
+        l_sigma=wrap(l_sigma),
+        p_pose=wrap(p_pose),
+        p_point=wrap(p_point),
+        p_uv=wrap(p_uv),
+        p_valid=wrap(p_valid),
+        p_sigma=np.ones(OP, np.float32) if as_numpy else jnp.ones(OP, jnp.float32),
     )
     return prob, kf_order, line_ids, obs_table, p_obs_table
 
@@ -177,13 +181,16 @@ def _project_endpoints_to_line(ep: np.ndarray, L: np.ndarray) -> np.ndarray:
     return p0[None, :] + t[:, None] * u[None, :]
 
 
-def local_bundle_adjustment(
+def assemble_problem(
     slam_map: SlamMap,
     center_kid: int,
     cam: Intrinsics,
     cfg: LocalBAConfig = LocalBAConfig(),
-) -> LocalBAStats:
-    """Run windowed BA around `center_kid` and write results into the map."""
+    as_numpy: bool = False,
+):
+    """Gather the padded window problem. Returns (BAProblem, ctx) where ctx
+    carries everything `apply_result` needs for write-back (the async worker
+    path holds ctx across keyframes)."""
     window, line_ids = slam_map.local_window(center_kid, cfg.window_size)
     window = sorted(window)
     st = slam_map.lines
@@ -223,48 +230,81 @@ def local_bundle_adjustment(
         M, OP = 1, 1
 
     prob, kf_order, line_order, obs_table, p_obs_table = build_problem(
-        slam_map, window, fixed, line_ids, (P, L, OL), point_ids, (M, OP)
+        slam_map, window, fixed, line_ids, (P, L, OL), point_ids, (M, OP),
+        as_numpy=as_numpy,
     )
-    state: BAState = _run_lm_jit(prob, cam, cfg.lm)
+    ctx = dict(
+        window=window,
+        fixed=fixed,
+        kf_order=kf_order,
+        line_order=line_order,
+        point_ids=point_ids,
+        obs_table=obs_table,
+        p_obs_table=p_obs_table,
+        pose_free=np.asarray(prob.pose_free),
+    )
+    return prob, ctx
 
-    # ---- write back -----------------------------------------------------
-    new_poses = np.asarray(state.poses)
+
+def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) -> LocalBAStats:
+    """Write an LM+Schur result back into the map + chi2 pruning.
+
+    Safe against map churn between assemble and apply (the async worker
+    path): culled keyframes/landmarks are skipped, stale observation rows
+    no-op in erase_observation."""
+    st = slam_map.lines
+    pst = slam_map.points
+    window = ctx["window"]
+    fixed = ctx["fixed"]
+    kf_order = ctx["kf_order"]
+    line_order = ctx["line_order"]
+    point_ids = ctx["point_ids"]
+    obs_table = ctx["obs_table"]
+    p_obs_table = ctx["p_obs_table"]
+
+    new_poses = res["poses"]
     for i, kid in enumerate(kf_order):
-        if i < len(window) + len(fixed) and float(np.asarray(prob.pose_free)[i]) > 0.5:
+        if (
+            i < len(window) + len(fixed)
+            and float(ctx["pose_free"][i]) > 0.5
+            and kid in slam_map.keyframes
+        ):
             slam_map.keyframes[kid].T_cw = new_poses[i]
-    new_lines = np.asarray(state.lines)
+    new_lines = res["lines"]
     for i, lid in enumerate(line_order):
         if st.alive[lid]:
             st.plucker[lid] = new_lines[i]
             st.endpoints[lid] = _project_endpoints_to_line(st.endpoints[lid], new_lines[i])
     if point_ids:
-        new_points = np.asarray(state.points)
+        new_points = res["points"]
         for i, qid in enumerate(point_ids):
             if pst.alive[qid]:
                 pst.xyz[qid] = new_points[i]
 
-    # ---- outlier pruning -------------------------------------------------
     n_pruned = 0
-    if cfg.prune_outliers:
-        inl_l, inl_p = _chi2_jit(state, prob, cam, cfg.chi2_line, cfg.chi2_point)
-        inl_l = np.asarray(inl_l)
+    if cfg.prune_outliers and "inl_l" in res:
+        inl_l = np.asarray(res["inl_l"])
         for r in range(obs_table.shape[0]):
             if inl_l[r] < 0.5:
                 pi, li, slot = obs_table[r]
                 kid = kf_order[pi]
-                lid = line_order[li]
-                st.erase_observation(int(lid), slam_map.keyframes[kid])
+                if kid not in slam_map.keyframes:
+                    continue
+                st.erase_observation(int(line_order[li]), slam_map.keyframes[kid])
                 n_pruned += 1
         # kill landmarks that fell below the observation floor
         for lid in line_order:
             if st.alive[lid] and st.n_obs[lid] < cfg.min_obs_keep:
                 st.kill(int(lid), slam_map.keyframes)
         if point_ids:
-            inl_p = np.asarray(inl_p)
+            inl_p = np.asarray(res["inl_p"])
             for r in range(p_obs_table.shape[0]):
                 if inl_p[r] < 0.5:
                     pi, qi, slot = p_obs_table[r]
-                    pst.erase_observation(int(point_ids[qi]), slam_map.keyframes[kf_order[pi]])
+                    kid = kf_order[pi]
+                    if kid not in slam_map.keyframes:
+                        continue
+                    pst.erase_observation(int(point_ids[qi]), slam_map.keyframes[kid])
                     n_pruned += 1
             for qid in point_ids:
                 if pst.alive[qid] and pst.n_obs[qid] < cfg.min_obs_keep:
@@ -275,6 +315,50 @@ def local_bundle_adjustment(
         n_fixed=len(fixed),
         n_lines=len(line_order),
         n_obs=int(obs_table.shape[0]),
-        cost=float(np.asarray(state.cost)),
+        cost=res["cost"],
         n_pruned=n_pruned,
     )
+
+
+def solve_in_process(prob: BAProblem, cam: Intrinsics, cfg: LocalBAConfig) -> dict:
+    """The jitted LM+Schur solve + chi2 masks, in this process."""
+    state: BAState = _run_lm_jit(prob, cam, cfg.lm)
+    res = dict(
+        poses=np.asarray(state.poses),
+        lines=np.asarray(state.lines),
+        points=np.asarray(state.points),
+        cost=float(np.asarray(state.cost)),
+    )
+    if cfg.prune_outliers:
+        inl_l, inl_p = _chi2_jit(state, prob, cam, cfg.chi2_line, cfg.chi2_point)
+        res["inl_l"], res["inl_p"] = np.asarray(inl_l), np.asarray(inl_p)
+    return res
+
+
+def local_bundle_adjustment(
+    slam_map: SlamMap,
+    center_kid: int,
+    cam: Intrinsics,
+    cfg: LocalBAConfig = LocalBAConfig(),
+    solver=None,
+) -> LocalBAStats:
+    """Synchronous windowed BA around `center_kid` (assemble + solve + apply).
+
+    ``solver``: optional `backend.ba_worker.BASolverWorker`; the solve then
+    runs in the persistent subprocess (blocking here — the ASYNC per-KF
+    pipelining lives in `backend.mapping.LocalMapper`)."""
+    prob, ctx = assemble_problem(slam_map, center_kid, cam, cfg, as_numpy=solver is not None)
+    res = None
+    if solver is not None:
+        res, err = solver.solve(
+            {f: np.asarray(getattr(prob, f)) for f in prob._fields},
+            cfg.lm, cfg.chi2_line, cfg.chi2_point,
+        )
+        if res is None:
+            import sys
+
+            print(f"BA worker failed ({err}); solving in-process", file=sys.stderr)
+            prob = BAProblem(*[jnp.asarray(np.asarray(getattr(prob, f))) for f in prob._fields])
+    if res is None:
+        res = solve_in_process(prob, cam, cfg)
+    return apply_result(slam_map, cfg, ctx, res)

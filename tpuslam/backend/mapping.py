@@ -19,7 +19,13 @@ from typing import Dict, List
 import numpy as np
 import jax.numpy as jnp
 
-from tpuslam.backend.local_ba import LocalBAConfig, LocalBAStats, local_bundle_adjustment
+from tpuslam.backend.local_ba import (
+    LocalBAConfig,
+    LocalBAStats,
+    apply_result,
+    assemble_problem,
+    local_bundle_adjustment,
+)
 from tpuslam.frontend.matcher import ProjectionSearchParams, search_by_projection
 from tpuslam.geometry.camera import Intrinsics, image_line_through
 from tpuslam.geometry.se3 import se3_inverse
@@ -61,11 +67,14 @@ class LocalMapper:
         cam: Intrinsics,
         cfg: MapperConfig = MapperConfig(),
         mono: bool = False,
+        solver=None,  # backend.ba_worker.BASolverWorker (axon: out-of-process solve)
     ):
         self.map = slam_map
         self.cam = cam
         self.cfg = cfg
         self.mono = mono
+        self.solver = solver
+        self._ba_ctx = None  # async worker path: in-flight solve's context
         self._recent: Dict[int, int] = {}  # line id -> kf id at creation
         self._recent_pts: Dict[int, int] = {}  # point id -> kf id at creation
         self._kf_count = 0
@@ -81,11 +90,61 @@ class LocalMapper:
         self._fuse_in_neighbors(kf)
         self.map.update_connections(kf)
         if self._kf_count % self.cfg.ba_every == 0 and len(self.map.keyframes) >= 2:
-            self.last_ba = local_bundle_adjustment(self.map, kf.kid, self.cam, self.cfg.ba)
+            if self.solver is not None:
+                # ASYNC per-keyframe BA pipeline (the reference's mapping
+                # thread semantics): apply the PREVIOUS keyframe's solve if
+                # it finished, then submit this window. The tracker never
+                # blocks on a solve or a worker-side compile; if the worker
+                # is still busy this keyframe's BA is skipped — exactly how
+                # the reference drops mapping work under load.
+                self._poll_ba(blocking=False)
+                if self._ba_ctx is None:
+                    import numpy as _np
+
+                    prob, ctx = assemble_problem(
+                        self.map, kf.kid, self.cam, self.cfg.ba, as_numpy=True
+                    )
+                    self.solver.submit(
+                        {f: _np.asarray(getattr(prob, f)) for f in prob._fields},
+                        self.cfg.ba.lm, self.cfg.ba.chi2_line, self.cfg.ba.chi2_point,
+                    )
+                    self._ba_ctx = ctx
+            else:
+                self.last_ba = local_bundle_adjustment(
+                    self.map, kf.kid, self.cam, self.cfg.ba
+                )
         if self.cfg.enable_kf_culling:
             self._cull_keyframes(kf)
         if self.on_map_changed:
             self.on_map_changed()
+
+    def _poll_ba(self, blocking: bool):
+        """Apply the in-flight async BA result if (or once) available."""
+        if self.solver is None or self._ba_ctx is None:
+            return
+        out = self.solver.poll(timeout=0.0)
+        tries = 0
+        while out is None and blocking and tries < 40:  # <=20 min; selector
+            out = self.solver.poll(timeout=30.0)  # timeouts must stay small
+            tries += 1
+        if out is None:
+            if blocking:
+                self._ba_ctx = None  # worker presumed dead; drop the solve
+            return
+        res, err = out
+        ctx, self._ba_ctx = self._ba_ctx, None
+        if res is None:
+            import sys
+
+            print(f"BA worker solve failed: {err}", file=sys.stderr)
+            return
+        self.last_ba = apply_result(self.map, self.cfg.ba, ctx, res)
+        if self.on_map_changed:
+            self.on_map_changed()
+
+    def finish(self):
+        """Drain the in-flight async solve (sequence end / shutdown)."""
+        self._poll_ba(blocking=True)
 
     # ---- landmark culling ----------------------------------------------
     def _register_recent(self, kf: KeyFrame):
@@ -122,13 +181,19 @@ class LocalMapper:
 
     # ---- new landmark triangulation (mono) ------------------------------
     def _create_new_maplines(self, kf: KeyFrame):
+        """Two-view triangulation vs covisible KFs. All device dispatches use
+        the FIXED per-frame capacity K (the fixed-shape rule: data-dependent
+        match counts would recompile the triangulation programs every
+        keyframe); match validity masks select rows on the host."""
         neighbors = self.map.covisible_keyframes(kf.kid, self.cfg.triangulate_neighbors)
         f = kf.features
         free = (kf.line_ids < 0) & (np.asarray(f.valid) > 0.5)
         if free.sum() == 0:
             return
         T0 = kf.T_cw
-        P0 = np.asarray(projection_matrix(self.cam, jnp.asarray(T0)))
+        P0 = projection_matrix(self.cam, jnp.asarray(T0))
+        a0 = np.asarray(f.endpoints)  # (K, 2, 2)
+        l0 = image_line_through(jnp.asarray(a0[:, 0]), jnp.asarray(a0[:, 1]))
         for nkid in neighbors:
             nkf = self.map.keyframes[nkid]
             nfree = (nkf.line_ids < 0) & (np.asarray(nkf.features.valid) > 0.5)
@@ -147,89 +212,69 @@ class LocalMapper:
                 self.cfg.tri_match,
                 pen,
             )
-            mv = np.asarray(m.valid)
-            if mv.sum() == 0:
+            mv = np.asarray(m.valid) > 0.5
+            if not mv.any():
                 continue
-            slots0 = np.nonzero(mv)[0]
-            slots1 = np.asarray(m.idx)[slots0]
-            a0 = np.asarray(f.endpoints)[slots0]
-            a1 = np.asarray(nkf.features.endpoints)[slots1]
+            idx = np.maximum(np.asarray(m.idx), 0)
+            a1 = np.asarray(nkf.features.endpoints)[idx]  # (K, 2, 2)
             T1 = nkf.T_cw
-            P1 = np.asarray(projection_matrix(self.cam, jnp.asarray(T1)))
-            l0 = np.asarray(image_line_through(jnp.asarray(a0[:, 0]), jnp.asarray(a0[:, 1])))
-            l1 = np.asarray(image_line_through(jnp.asarray(a1[:, 0]), jnp.asarray(a1[:, 1])))
-            Lw = np.asarray(
-                triangulate_plucker_two_view(
-                    jnp.asarray(P0), jnp.asarray(P1), jnp.asarray(l0), jnp.asarray(l1)
-                )
-            )
+            P1 = projection_matrix(self.cam, jnp.asarray(T1))
+            l1 = image_line_through(jnp.asarray(a1[:, 0]), jnp.asarray(a1[:, 1]))
+            Lw = np.asarray(triangulate_plucker_two_view(P0, P1, l0, l1))
             ok, ep3d = self._validate_triangulations(Lw, a0, a1, T0, T1)
+            ok &= mv
             bits = np.asarray(f.desc_bits)
             st = self.map.lines
-            for i in np.nonzero(ok)[0]:
-                s0 = int(slots0[i])
-                s1 = int(slots1[i])
+            for s0 in np.nonzero(ok)[0]:
+                s1 = int(idx[s0])
                 if kf.line_ids[s0] >= 0 or nkf.line_ids[s1] >= 0:
                     continue
-                lid = st.allocate(Lw[i], ep3d[i], bits[s0], kf.kid)
-                st.add_observation(lid, kf, s0)
+                lid = st.allocate(Lw[s0], ep3d[s0], bits[s0], kf.kid)
+                st.add_observation(lid, kf, int(s0))
                 st.add_observation(lid, nkf, s1)
                 self._recent[lid] = kf.kid
             free = (kf.line_ids < 0) & (np.asarray(f.valid) > 0.5)
 
     def _validate_triangulations(self, Lw, a0, a1, T0, T1):
-        """Cheirality + depth + reprojection + parallax checks; endpoint 3D
-        from viewing-ray intersection in view 0."""
-        n = Lw.shape[0]
-        ok = np.zeros(n, bool)
-        ep3d = np.zeros((n, 2, 3), np.float32)
-        cam = self.cam
-        Kinv = np.linalg.inv(np.asarray(cam.K))
+        """Cheirality + depth + reprojection + parallax checks, vectorized
+        over the fixed capacity K; endpoint 3D from viewing-ray intersection
+        in view 0. Invalid rows carry garbage values but are masked out."""
         from tpuslam.geometry.plucker import plucker_transform
-        from tpuslam.geometry.camera import line_projection_matrix, point_line_distance
+        from tpuslam.geometry.camera import line_projection_matrix
 
+        cam = self.cam
+        K = Lw.shape[0]
+        Kinv = np.linalg.inv(np.asarray(cam.K))
         KL = np.asarray(line_projection_matrix(cam))
         L0 = np.asarray(plucker_transform(jnp.asarray(T0), jnp.asarray(Lw)))
         L1 = np.asarray(plucker_transform(jnp.asarray(T1), jnp.asarray(Lw)))
         # parallax gate is implicit: near-parallel back-projected planes give
-        # |v| ~ 0 (skipped below) and inflate the reprojection residual
-        vnorm = np.linalg.norm(Lw[:, 3:], axis=-1)
-        for i in range(n):
-            if vnorm[i] < 1e-7:
-                continue
-            # reprojection check in both views
-            good = True
-            for (Lc, a) in ((L0[i], a0[i]), (L1[i], a1[i])):
-                l = KL @ Lc[:3]
-                den = np.hypot(l[0], l[1])
-                if den < 1e-9:
-                    good = False
-                    break
+        # |v| ~ 0 and inflate the reprojection residual
+        ok = np.linalg.norm(Lw[:, 3:], axis=-1) > 1e-7
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for (Lc, a) in ((L0, a0), (L1, a1)):
+                l = Lc[:, :3] @ KL.T  # (K, 3) projected image lines
+                den = np.hypot(l[:, 0], l[:, 1])
+                ok &= den > 1e-9
+                den = np.maximum(den, 1e-9)
                 for e in range(2):
-                    d = abs(l[0] * a[e, 0] + l[1] * a[e, 1] + l[2]) / den
-                    if d > self.cfg.tri_max_reproj_px:
-                        good = False
-                        break
-                if not good:
-                    break
-            if not good:
-                continue
-            # endpoints from rays in view 0
-            rays = Kinv @ np.concatenate([a0[i], np.ones((2, 1))], axis=1).T  # (3, 2)
-            rays = (rays / np.linalg.norm(rays, axis=0)).T  # (2, 3)
-            pts, s = line_ray_endpoints(jnp.asarray(L0[i]), jnp.asarray(rays))
+                    d = np.abs(l[:, 0] * a[:, e, 0] + l[:, 1] * a[:, e, 1] + l[:, 2]) / den
+                    ok &= d <= self.cfg.tri_max_reproj_px
+            # endpoints from rays in view 0 (batched)
+            rays_h = np.concatenate([a0, np.ones((K, 2, 1), np.float32)], axis=-1)
+            rays = rays_h @ Kinv.T.astype(np.float32)  # (K, 2, 3)
+            rays = rays / np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+            pts, s = line_ray_endpoints(jnp.asarray(L0), jnp.asarray(rays))
             pts = np.asarray(pts)
             s = np.asarray(s)
-            z = pts[:, 2]
-            if np.any(s <= 0) or np.any(z < self.cfg.tri_min_depth) or np.any(
-                z > self.cfg.tri_max_depth
-            ):
-                continue
-            # world endpoints
-            Twc = np.linalg.inv(T0)
-            ep3d[i] = pts @ Twc[:3, :3].T + Twc[:3, 3]
-            ok[i] = True
-        return ok, ep3d
+            z = pts[..., 2]
+            ok &= np.all(s > 0, axis=-1)
+            ok &= np.all(z >= self.cfg.tri_min_depth, axis=-1)
+            ok &= np.all(z <= self.cfg.tri_max_depth, axis=-1)
+            ok &= np.isfinite(pts).all(axis=(1, 2))
+        Twc = np.linalg.inv(T0)
+        ep3d = (pts @ Twc[:3, :3].T + Twc[:3, 3]).astype(np.float32)
+        return ok, np.where(ok[:, None, None], ep3d, 0.0).astype(np.float32)
 
     # ---- duplicate fusion -----------------------------------------------
     def _fuse_in_neighbors(self, kf: KeyFrame):
@@ -247,12 +292,23 @@ class LocalMapper:
         )
         if not old_ids:
             return
-        ids = np.asarray(old_ids, np.int32)
+        # pad to a capacity bucket: the raw landmark count changes every
+        # keyframe, and a data-dependent shape here recompiles the
+        # projection-search programs per KF (~3.7 s/KF measured on the
+        # remote compile service — the repo's fixed-shape rule)
+        n = len(old_ids)
+        cap = 128
+        while cap < n:
+            cap *= 2
+        ids = np.zeros(cap, np.int32)
+        ids[:n] = old_ids
+        validf = np.zeros(cap, np.float32)
+        validf[:n] = 1.0
         m = search_by_projection(
             jnp.asarray(kf.T_cw),
             jnp.asarray(st.endpoints[ids]),
             jnp.asarray(st.desc_bits[ids]),
-            jnp.ones(len(ids), jnp.float32),
+            jnp.asarray(validf),
             _features_as_jnp(kf.features),
             self.cam,
             self.cfg.fuse_search,

@@ -73,7 +73,9 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             search_params=(tc.search_coarse, tc.search_fine),
             pose_opt_cfg=tc.pose_opt,
             local_capacity=tc.local_capacity,
-            with_mapping=mapping,
+            # the BA worker owns (and lazily warms) the LM programs in its
+            # own process; compiling them here too would re-poison this one
+            with_mapping=mapping and sys_._ba_worker is None,
             log=log,
         )
     log("bench: warmup done; tracking...")

@@ -227,14 +227,16 @@ def fused_stereo_frame(
     po: PoseOptConfig,
     min_inliers: int,
 ) -> FusedFrameOut:
-    """One stereo tracking frame on device: TWO dispatches by default
-    (extract-pair program + stereo/track program, pose chain and features
-    device-resident between them — each compiles well under the degradation
-    cliff), or ONE with TPUSLAM_FUSED_SPLIT=0."""
+    """One stereo tracking frame on device: ONE dispatch by default (the
+    monolithic program measures 53 ms steady vs the split's 80 — the second
+    dispatch's wire/executable overhead outweighs its faster compile), or
+    TWO with TPUSLAM_FUSED_SPLIT=1 (extract-pair + stereo/track programs;
+    each compiles in well under a minute when the monolithic compile keeps
+    losing the remote-compile lottery)."""
     import os
 
     statics = (float(fxb), cam, sp, sc, sf, po, int(min_inliers))
-    if os.environ.get("TPUSLAM_FUSED_SPLIT", "1") == "1":
+    if os.environ.get("TPUSLAM_FUSED_SPLIT", "0") == "1":
         feats2 = _extract_pair(pair, fe)
         fl = jax.tree_util.tree_map(lambda x: x[0], feats2)
         fr = jax.tree_util.tree_map(lambda x: x[1], feats2)

@@ -30,8 +30,8 @@ moments, density validation — but grown via *connected-component labeling*:
 
 Outputs fixed-capacity arrays: (K, 2, 2) endpoints + masks. Oracle for
 tests: cv2.createLineSegmentDetector (SURVEY §6.2). The propagation loop
-has a Pallas twin (kernels/pallas_ccl.py) that keeps all rounds VMEM-
-resident; `ccl="auto"` picks it on TPU backends.
+has a strip-tiled Pallas twin (kernels/pallas_ccl.py, `ccl="pallas"`);
+XLA is the default — see `_use_pallas_ccl` for the measured tradeoff.
 """
 
 from __future__ import annotations
@@ -55,9 +55,13 @@ class LSDParams(NamedTuple):
     max_width: float = 8.0  # px, reject blobs (density is the main gate;
     # the Gaussian prefilter widens legitimate edge strips to ~2-5 px)
     ccl_rounds: int = 64  # min/max-propagation rounds = base geodesic reach
-    ccl_jumps: int = 3  # pointer-jump rounds after propagation; each roughly
-    # doubles the converged reach (64 -> ~512 px); jumps are the only gathers
-    # in the detector and labels are spatially local, so they stay ~2 ms
+    ccl_jumps: int = 1  # pointer-jump rounds after propagation; each roughly
+    # doubles the converged reach (64 -> ~128-192 px). Jumps are the only
+    # gathers in the detector at ~2.5 ms each on-chip (rounds cost ~0.02 ms
+    # each), so fragments beyond the reach are cheaper to re-join in the
+    # segment-level collinear merge than to label globally: oracle recall is
+    # flat from 3 jumps down to 1 (0.65 vs 0.66) and drops only at 0. Raise
+    # for very long structural lines (KITTI) if merge quality degrades.
     prefilter_sigma: float = 0.75  # LSD's 0.6/0.8 pre-smoothing (0 = off);
     # without it, anti-aliased near-axis lines fragment at stair-steps
     merge_fragments: bool = True  # collinear post-merge (junction splits)
@@ -73,12 +77,6 @@ class DetectedLines(NamedTuple):
     width: jnp.ndarray  # (K,) rectangle width
     midpoint: jnp.ndarray  # (K, 2)
     length: jnp.ndarray  # (K,)
-
-
-def _angle_close(a: jnp.ndarray, b: jnp.ndarray, tol: float) -> jnp.ndarray:
-    d = jnp.abs(a - b)
-    d = jnp.minimum(d, 2.0 * jnp.pi - d)
-    return d < tol
 
 
 def _shift(x: jnp.ndarray, dy: int, dx: int):
@@ -115,10 +113,12 @@ def _use_pallas_ccl(params: LSDParams) -> bool:
         return True
     if params.ccl == "xla":
         return False
-    # 'auto' currently means XLA everywhere: the whole-array Pallas kernel
-    # exceeds the 16 MB scoped-vmem limit at VGA on the real chip (the
-    # fori_loop body live set is ~18 MB). Opt in with ccl='pallas' once the
-    # kernel is strip-tiled under the limit.
+    # 'auto' currently means XLA everywhere. The strip-tiled Pallas kernel
+    # (pallas_ccl.py) fits VMEM and is parity-exact on chip, but measures
+    # 2.3x SLOWER than the XLA scan at VGA: the propagation loop is
+    # compute/copy-bound (64 rounds cost ~1.5 ms total in XLA), so VMEM
+    # residency buys nothing and the halo redundancy costs its full factor.
+    # Kept for larger-R configs where the arithmetic flips.
     return False
 
 
@@ -133,22 +133,36 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     K = max_lines
     if params.prefilter_sigma > 0:
         img = gaussian_blur(img, params.prefilter_sigma)
-    gx, gy, mag, angle = image_gradients(img * 255.0)  # LSD thresholds on 0..255
+    gx, gy, mag, _ = image_gradients(img * 255.0)  # LSD thresholds on 0..255
 
     rho = params.quant / math.sin(params.angle_tol)
     support = mag > rho
 
     # --- neighbor compatibility as one bit-packed i32 plane ----------------
+    # angle agreement via the gradient dot product, NOT angle differences:
+    # dot(u, u') > cos(tol) |u||u'|  <=>  |Δangle| < tol  (identical math for
+    # support pixels, which have mag > 0), and it lets XLA dead-code-
+    # eliminate the dense arctan2 plane — a 307k-pixel transcendental on the
+    # per-frame path.
+    cos_tol = math.cos(params.angle_tol)
     compat_bits = jnp.zeros((H, W), jnp.int32)
     for d, (dy, dx) in enumerate(_OFFSETS):
+        dots = gx * _shift(gx, dy, dx) + gy * _shift(gy, dy, dx)
         ok = (
             support
             & _shift(support, dy, dx)
-            & _angle_close(angle, _shift(angle, dy, dx), params.angle_tol)
+            & (dots > cos_tol * mag * _shift(mag, dy, dx))
         )
         compat_bits = compat_bits | (ok.astype(jnp.int32) << d)
 
     # --- connected components: min/max-label propagation + pointer jumps ---
+    # CCL reach must track the image scale: jumps roughly double the
+    # converged reach, and structural lines grow with image width (KITTI's
+    # 1241-px frames carry 300-500 px lines that fragment beyond repair at
+    # VGA-tuned reach — the collinear merge re-joins short-range fragments
+    # but cannot bridge many-piece splits). Shape is static under jit, so
+    # this costs nothing at VGA.
+    jumps = params.ccl_jumps if W <= 768 else max(params.ccl_jumps, 3)
     idx = jnp.arange(N, dtype=jnp.int32).reshape(H, W)
     BIG = jnp.int32(N)
     labels0 = jnp.where(support, idx, BIG)
@@ -163,7 +177,7 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256, params: LSDParams = LSD
     # reach is keyed by NON-ROOT interior window-minima, and those groups are
     # invisible to root-based selection. Each jump composes the reach
     # (~doubles it); the single propagate between jumps reconnects stragglers.
-    for _ in range(params.ccl_jumps):
+    for _ in range(jumps):
         lf = labels.reshape(-1)
         lut = jnp.append(lf, BIG)
         labels = jnp.minimum(lut[jnp.minimum(lf, N)], lf).reshape(H, W)

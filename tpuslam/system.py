@@ -15,6 +15,7 @@ pose, match/inlier counts, stage timings.
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -83,9 +84,25 @@ class System:
         self.tracker = Tracker(cam, self.map, tcfg)
         self.mapper: Optional[LocalMapper] = None
         self.loop_closer = None
+        self._ba_worker = None
         if mapping:
+            # On the real chip, the LM+Schur solve runs in a persistent
+            # subprocess (the reference's background-mapping-thread analog):
+            # compiling the big BA programs into the tracking process
+            # degrades every subsequent dispatch (PERF_NOTES.md). CPU runs
+            # (tests) stay in-process and fully deterministic.
+            import jax
+
+            use_worker = os.environ.get("TPUSLAM_BA_SUBPROCESS")
+            if use_worker is None:
+                use_worker = "1" if jax.default_backend() not in ("cpu",) else "0"
+            if use_worker == "1":
+                from tpuslam.backend.ba_worker import BASolverWorker
+
+                self._ba_worker = BASolverWorker(cam)
             self.mapper = LocalMapper(
-                self.map, cam, mapper_cfg or MapperConfig(), mono=(sensor == "mono")
+                self.map, cam, mapper_cfg or MapperConfig(), mono=(sensor == "mono"),
+                solver=self._ba_worker,
             )
             self.tracker.on_new_keyframe = self._on_new_keyframe
             self.mapper.on_map_changed = self.tracker.invalidate_local_map
@@ -239,7 +256,12 @@ class System:
             if r is not None:
                 self.trajectory.append(r)
                 self._log(r, 0.0)
+        if self.mapper is not None:
+            self.mapper.finish()  # drain the async BA solve, apply write-back
         if self._log_f is not None:
             self._log_f.write(json.dumps(dict(timing=self.timing_summary())) + "\n")
             self._log_f.close()
             self._log_f = None
+        if self._ba_worker is not None:
+            self._ba_worker.close()
+            self._ba_worker = None

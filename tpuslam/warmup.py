@@ -52,7 +52,7 @@ def warmup_tracking(
     pose_opt_cfg=None,
     local_capacity: int = 1024,
     with_mapping: bool = True,
-    ba_caps=((8, 128, 512), (16, 256, 1024)),
+    ba_caps=((8, 128, 512), (16, 256, 1024), (16, 512, 2048), (24, 512, 2048)),
     log: Optional[Callable[[str], None]] = None,
 ):
     """Compile the per-frame stereo tracking programs in safe order."""
@@ -143,15 +143,21 @@ def warmup_tracking(
     ]
     if with_mapping:
         from tpuslam.backend.lm import LMConfig
-        from tpuslam.backend.local_ba import _run_lm_jit
+        from tpuslam.backend.local_ba import LocalBAConfig, _chi2_jit, _run_lm_jit
         from tpuslam.parallel.sharded_ba import _toy_problem
 
+        # EVERY bucket tuple a run can hit must be warmed: a bucket first
+        # reached mid-run compiles on the per-keyframe path (observed 23 s
+        # stall at the first VGA-scale local BA) and leaves the process in
+        # the degraded-dispatch regime afterwards (PERF_NOTES.md)
+        ba_cfg = LocalBAConfig()
         for caps in ba_caps:
             P_, L_, OL_ = caps
 
             def _ba(P_=P_, L_=L_, OL_=OL_):
                 prob = _toy_problem(rng, P_=P_, L=L_, OL=OL_, cam=cam)
-                return _run_lm_jit(prob, cam, LMConfig(max_iters=8))
+                state = _run_lm_jit(prob, cam, LMConfig(max_iters=8))
+                return _chi2_jit(state, prob, cam, ba_cfg.chi2_line, ba_cfg.chi2_point)
 
             steps.append((f"local_ba_{caps}", _ba))
 
