@@ -181,3 +181,77 @@ def test_add_observation_rebind_clears_previous_slot():
     ids = s.line_ids(0)
     assert ids[5] == a and ids[2] == -1
     assert s.n_obs(a) == 1
+
+
+def test_slammap_native_mirror_covisibility_parity(rng):
+    """SlamMap with the native graph mirror produces the same covisibility
+    rows and spanning tree as the pure-python path over a randomized
+    allocate/observe/kill/replace/cull sequence (the production integration:
+    update_connections routes its recount through native/mapstore.cpp)."""
+    from tpuslam.frontend.frame import FrameFeatures
+
+    def mk_feats(K=32):
+        return FrameFeatures(
+            endpoints=np.zeros((K, 2, 2), np.float32),
+            valid=np.ones(K, np.float32),
+            angle=np.zeros(K, np.float32),
+            length=np.zeros(K, np.float32),
+            midpoint=np.zeros((K, 2), np.float32),
+            response=np.zeros(K, np.float32),
+            level=np.zeros(K, np.int32),
+            sigma=np.ones(K, np.float32),
+            desc=np.zeros((K, 72), np.float32),
+            desc_bits=np.zeros((K, 8), np.uint32),
+            depth=np.zeros((K, 2), np.float32),
+            has_depth=np.zeros(K, np.float32),
+        )
+
+    maps = [SlamMap(line_capacity=256, native=True), SlamMap(line_capacity=256, native=False)]
+    assert maps[0].lines.mirror is not None, "native mirror failed to load"
+    lids: list = []
+    for step in range(8):
+        feats = mk_feats()
+        kfs = [m.new_keyframe(step, float(step), np.eye(4, dtype=np.float32), feats) for m in maps]
+        # observe a random subset of existing landmarks at matching slots
+        # (each landmark at most once per keyframe — the production
+        # invariant both stores assume)
+        slots = rng.permutation(32)[:12]
+        pool = list(dict.fromkeys(lids))
+        rng.shuffle(pool)
+        for si, lid in zip(slots, pool[:12]):
+            for m, kf in zip(maps, kfs):
+                if m.lines.alive[lid]:
+                    m.lines.add_observation(lid, kf, int(si))
+        # allocate a few new landmarks on free slots
+        for si in rng.permutation(32)[:6]:
+            if kfs[0].line_ids[si] >= 0:
+                continue
+            new_ids = [
+                m.lines.allocate(np.zeros(6), np.zeros((2, 3)), np.zeros(8, np.uint32), kfs[0].kid)
+                for m in maps
+            ]
+            assert new_ids[0] == new_ids[1]
+            lids.append(new_ids[0])
+            for m, kf, lid in zip(maps, kfs, new_ids):
+                m.lines.add_observation(lid, kf, int(si))
+        for m, kf in zip(maps, kfs):
+            m.update_connections(kf)
+        # random kills / replaces / erases, mirrored identically
+        if lids and step % 2 == 1:
+            victim = int(lids[int(rng.integers(0, len(lids)))])
+            for m in maps:
+                m.lines.kill(victim, m.keyframes)
+        if len(lids) > 4 and step % 3 == 2:
+            a, b = (int(lids[i]) for i in rng.integers(0, len(lids), 2))
+            for m in maps:
+                if m.lines.alive[a] and m.lines.alive[b] and a != b:
+                    m.lines.replace(a, b, m.keyframes)
+        if step == 5:
+            for m in maps:
+                m.erase_keyframe(2)
+
+    assert maps[0].lines.mirror is not None, "mirror dropped mid-sequence"
+    # covisibility rows must agree exactly
+    for kid in maps[1].keyframes:
+        assert maps[0].covis.get(kid, {}) == maps[1].covis.get(kid, {}), kid
+        assert maps[0].keyframes[kid].parent == maps[1].keyframes[kid].parent

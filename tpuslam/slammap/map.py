@@ -78,6 +78,10 @@ class MapLineStore:
 
     def __init__(self, capacity: int = 16384, desc_words: int = 8):
         self.capacity = capacity
+        # optional native graph mirror (slammap/native.py): id allocation is
+        # kept in lockstep (both free lists are LIFO and every mutation is
+        # mirrored), so the C++ side can answer the graph queries
+        self.mirror = None
         self.plucker = np.zeros((capacity, 6), np.float32)
         self.endpoints = np.zeros((capacity, 2, 3), np.float32)  # world 3D
         self.alive = np.zeros(capacity, bool)
@@ -104,6 +108,10 @@ class MapLineStore:
         self.n_obs[lid] = 0
         self.first_kf[lid] = first_kf
         self.obs[lid] = {}
+        if self.mirror is not None:
+            nid = self.mirror.allocate(first_kf)
+            if nid != lid:  # lockstep broken (capacity mismatch?) — drop it
+                self.mirror = None
         return lid
 
     def add_observation(self, lid: int, kf: "KeyFrame", slot: int):
@@ -112,6 +120,8 @@ class MapLineStore:
         self.obs[lid][kf.kid] = slot
         self.n_obs[lid] = len(self.obs[lid])
         kf.line_ids[slot] = lid
+        if self.mirror is not None:
+            self.mirror.add_observation(lid, kf.kid, slot)
 
     def erase_observation(self, lid: int, kf: "KeyFrame"):
         o = self.obs.get(lid)
@@ -121,6 +131,8 @@ class MapLineStore:
         if kf.line_ids[slot] == lid:
             kf.line_ids[slot] = -1
         self.n_obs[lid] = len(o)
+        if self.mirror is not None:
+            self.mirror.erase_observation(lid, kf.kid)
 
     def kill(self, lid: int, keyframes: Dict[int, "KeyFrame"]):
         """SetBadFlag: remove the landmark and all its observations."""
@@ -133,6 +145,8 @@ class MapLineStore:
         self.obs.pop(lid, None)
         self.alive[lid] = False
         self._free.append(lid)
+        if self.mirror is not None:
+            self.mirror.kill(lid)
 
     def replace(self, old: int, new: int, keyframes: Dict[int, "KeyFrame"]):
         """Fuse duplicate landmarks: move old's observations onto new."""
@@ -152,6 +166,8 @@ class MapLineStore:
         self.obs.pop(old, None)
         self.alive[old] = False
         self._free.append(old)
+        if self.mirror is not None:
+            self.mirror.replace(old, new)
 
     def live_ids(self) -> np.ndarray:
         return np.nonzero(self.alive)[0]
@@ -160,12 +176,34 @@ class MapLineStore:
 class SlamMap:
     """Global map: keyframes + line landmarks + covisibility graph."""
 
-    def __init__(self, line_capacity: int = 16384, point_capacity: int = 16384):
+    def __init__(
+        self,
+        line_capacity: int = 16384,
+        point_capacity: int = 16384,
+        native: bool | None = None,
+    ):
+        import os
+
         from tpuslam.slammap.points import MapPointStore
 
         self.keyframes: Dict[int, KeyFrame] = {}
         self.lines = MapLineStore(line_capacity)
         self.points = MapPointStore(point_capacity)
+        # native C++ graph runtime (SURVEY §2 L3; native/mapstore.cpp): the
+        # per-keyframe covisibility recount is the hottest host loop, and it
+        # runs over flat C arrays there instead of python dict churn. The
+        # python dicts REMAIN authoritative (BA assembly, serialization);
+        # update_connections cross-checks against the native counts in tests.
+        if native is None:
+            native = os.environ.get("TPUSLAM_NATIVE_MAP", "1") == "1"
+        if native:
+            try:
+                from tpuslam.slammap.native import NativeMapStore, load_native
+
+                if load_native() is not None:
+                    self.lines.mirror = NativeMapStore(line_capacity=line_capacity)
+            except Exception:
+                self.lines.mirror = None
         self._next_kid = 0
         # covisibility: kf id -> {other kf id: shared landmark count}
         self.covis: Dict[int, Dict[int, int]] = {}
@@ -199,6 +237,12 @@ class SlamMap:
         self._next_kid += 1
         self.keyframes[kf.kid] = kf
         self.covis[kf.kid] = {}
+        m = self.lines.mirror
+        if m is not None:
+            if kf.kid < m.kf_capacity and f.valid.shape[0] <= m.feat_capacity:
+                m.add_keyframe(kf.kid)
+            else:  # beyond the native capacities: fall back to pure python
+                self.lines.mirror = None
         return kf
 
     def erase_keyframe(self, kid: int):
@@ -227,6 +271,8 @@ class SlamMap:
             self.keyframes[kf.parent].children.discard(kid)
         kf.is_bad = True
         del self.keyframes[kid]
+        if self.lines.mirror is not None:
+            self.lines.mirror.remove_keyframe(kid)
         if self.on_keyframe_erased is not None:
             self.on_keyframe_erased(kid)
 
@@ -235,13 +281,20 @@ class SlamMap:
         """Recount shared landmarks between kf and all keyframes observing
         its landmarks; refresh both adjacency rows and the spanning tree
         (reference behavior: parent = best covisible; SURVEY §2 'KeyFrame')."""
-        counts: Dict[int, int] = {}
-        for lid in kf.line_ids:
-            if lid < 0:
-                continue
-            for kid in self.lines.obs.get(int(lid), {}):
-                if kid != kf.kid:
-                    counts[kid] = counts.get(kid, 0) + 1
+        m = self.lines.mirror
+        if m is not None:
+            kids, ws = m.covisibility(kf.kid)
+            counts: Dict[int, int] = {
+                int(k): int(w) for k, w in zip(kids, ws) if int(k) != kf.kid
+            }
+        else:
+            counts = {}
+            for lid in kf.line_ids:
+                if lid < 0:
+                    continue
+                for kid in self.lines.obs.get(int(lid), {}):
+                    if kid != kf.kid:
+                        counts[kid] = counts.get(kid, 0) + 1
         if kf.point_ids is not None:
             for pid in kf.point_ids:
                 if pid < 0:

@@ -72,7 +72,7 @@ def save_map(slam_map: SlamMap, path: str):
 def load_map(path: str) -> SlamMap:
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["meta"]))
-    m = SlamMap()
+    m = SlamMap(native=False)  # mirror cannot replay arbitrary id state; loaded maps use the python graph
     m._next_kid = meta["next_kid"]
     for e in meta["keyframes"]:
         kid = e["kid"]
