@@ -39,8 +39,15 @@ class GlobalBAStats(NamedTuple):
 
 
 def global_bundle_adjustment(
-    slam_map: SlamMap, cam: Intrinsics, cfg: GlobalBAConfig = GlobalBAConfig()
+    slam_map: SlamMap,
+    cam: Intrinsics,
+    cfg: GlobalBAConfig = GlobalBAConfig(),
+    solver=None,
 ) -> GlobalBAStats:
+    """Full-map BA. ``solver``: optional `backend.ba_worker.BASolverWorker`;
+    the solve then runs (blocking — loop-closure correction is a
+    synchronous map rewrite) in the persistent subprocess so its large
+    compile cannot degrade the tracking process (PERF_NOTES.md)."""
     kids = slam_map.all_keyframe_ids()
     st = slam_map.lines
     live = [int(l) for l in st.live_ids() if st.n_obs[l] >= 2]
@@ -86,31 +93,51 @@ def global_bundle_adjustment(
         l_sigma[r] = kf.features.sigma[slot]
         l_valid[r] = 1.0
 
+    wrap = (lambda x: x) if solver is not None else jnp.asarray
+    zeros = np.zeros if solver is not None else jnp.zeros
+    ones = np.ones if solver is not None else jnp.ones
     prob = BAProblem(
-        poses=jnp.asarray(poses),
-        pose_free=jnp.asarray(pose_free),
-        lines=jnp.asarray(lines),
-        line_valid=jnp.asarray(line_valid),
-        points=jnp.zeros((1, 3), jnp.float32),
-        point_valid=jnp.zeros(1, jnp.float32),
-        l_pose=jnp.asarray(l_pose),
-        l_line=jnp.asarray(l_line),
-        l_endpoints=jnp.asarray(l_ep),
-        l_valid=jnp.asarray(l_valid),
-        l_sigma=jnp.asarray(l_sigma),
-        p_pose=jnp.zeros(1, jnp.int32),
-        p_point=jnp.zeros(1, jnp.int32),
-        p_uv=jnp.zeros((1, 2), jnp.float32),
-        p_valid=jnp.zeros(1, jnp.float32),
-        p_sigma=jnp.ones(1, jnp.float32),
+        poses=wrap(poses),
+        pose_free=wrap(pose_free),
+        lines=wrap(lines),
+        line_valid=wrap(line_valid),
+        points=zeros((1, 3), np.float32),
+        point_valid=zeros(1, np.float32),
+        l_pose=wrap(l_pose),
+        l_line=wrap(l_line),
+        l_endpoints=wrap(l_ep),
+        l_valid=wrap(l_valid),
+        l_sigma=wrap(l_sigma),
+        p_pose=zeros(1, np.int32),
+        p_point=zeros(1, np.int32),
+        p_uv=zeros((1, 2), np.float32),
+        p_valid=zeros(1, np.float32),
+        p_sigma=ones(1, np.float32),
     )
-    state = _run_lm_jit(prob, cam, cfg.lm)
+    res = None
+    if solver is not None:
+        res, err = solver.solve(
+            {f: np.asarray(getattr(prob, f)) for f in prob._fields},
+            cfg.lm, 7.378, 5.991,
+        )
+        if res is None:
+            import sys
 
-    new_poses = np.asarray(state.poses)
+            print(f"BA worker failed ({err}); global BA in-process", file=sys.stderr)
+            prob = BAProblem(*[jnp.asarray(np.asarray(getattr(prob, f))) for f in prob._fields])
+    if res is None:
+        state = _run_lm_jit(prob, cam, cfg.lm)
+        res = dict(
+            poses=np.asarray(state.poses),
+            lines=np.asarray(state.lines),
+            cost=float(np.asarray(state.cost)),
+        )
+
+    new_poses = res["poses"]
     for k, i in kf_pos.items():
         if pose_free[i] > 0.5:
             slam_map.keyframes[k].T_cw = new_poses[i]
-    new_lines = np.asarray(state.lines)
+    new_lines = res["lines"]
     for l, i in line_pos.items():
         if st.alive[l]:
             st.plucker[l] = new_lines[i]
@@ -120,5 +147,5 @@ def global_bundle_adjustment(
         n_poses=len(kids),
         n_lines=len(live),
         n_obs=len(rows),
-        cost=float(np.asarray(state.cost)),
+        cost=res["cost"],
     )

@@ -197,12 +197,14 @@ class LoopCloser:
         cfg: LoopConfig = LoopConfig(),
         db: KeyFrameDatabase | None = None,
         mono: bool = False,
+        solver=None,  # backend.ba_worker.BASolverWorker (global BA off-process)
     ):
         self.map = slam_map
         self.cam = cam
         self.cfg = cfg
         self.db = db or KeyFrameDatabase()
         self.mono = mono  # mono loops carry scale drift -> Sim(3) correction
+        self.solver = solver
         self._consistent: List[int] = []  # recent candidate kids
         self.closed_loops: List[Tuple[int, int]] = []
         self.gba_skipped: int = 0  # maps too large for the global-BA buckets
@@ -441,7 +443,7 @@ class LoopCloser:
             from tpuslam.backend.global_ba import global_bundle_adjustment
 
             try:
-                global_bundle_adjustment(self.map, self.cam)
+                global_bundle_adjustment(self.map, self.cam, solver=self.solver)
             except ValueError as e:
                 # Map exceeds the largest BA bucket: the essential graph has
                 # already corrected the trajectory; record + log the skip

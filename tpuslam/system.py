@@ -115,7 +115,8 @@ class System:
             from tpuslam.backend.loop_closing import LoopCloser
 
             self.loop_closer = LoopCloser(
-                self.map, cam, db=self.kf_db, mono=(sensor == "mono")
+                self.map, cam, db=self.kf_db, mono=(sensor == "mono"),
+                solver=self._ba_worker
             )
         self.timer = StageTimer()
         self.trajectory: List[FrameResult] = []
