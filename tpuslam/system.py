@@ -204,6 +204,16 @@ class System:
             n_obs=self.map.lines.n_obs[ids].copy(),
         )
 
+    def map_points(self) -> Dict[str, np.ndarray]:
+        """Live 3D point landmarks (hybrid mode; empty dict-of-arrays when
+        the point front-end is disabled)."""
+        ids = self.map.points.live_ids()
+        return dict(
+            ids=ids,
+            xyz=self.map.points.xyz[ids].copy(),
+            n_obs=self.map.points.n_obs[ids].copy(),
+        )
+
     def keyframe_graph(self):
         """Keyframe poses + covisibility edges (kid_a, kid_b, weight)."""
         kfs = {k: kf.T_cw.copy() for k, kf in self.map.keyframes.items()}

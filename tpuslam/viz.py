@@ -59,13 +59,23 @@ def plot_map(slam_map, path: str = "map.png", max_lines: int = 2000):
     for lid in ids:
         ep = st.endpoints[lid]
         ax.plot(ep[:, 0], ep[:, 2], ep[:, 1], "b-", lw=0.6, alpha=0.6)
+    n_pts = 0
+    pst = getattr(slam_map, "points", None)
+    if pst is not None:
+        pids = pst.live_ids()[:max_lines]
+        n_pts = len(pids)
+        if n_pts:
+            xyz = pst.xyz[pids]
+            ax.scatter(xyz[:, 0], xyz[:, 2], xyz[:, 1], c="m", s=2, alpha=0.5)
     if slam_map.keyframes:
         centers = np.stack([kf.center for kf in slam_map.keyframes.values()])
         ax.plot(centers[:, 0], centers[:, 2], centers[:, 1], "r.-", ms=4, lw=0.8)
     ax.set_xlabel("x")
     ax.set_ylabel("z")
     ax.set_zlabel("y")
-    ax.set_title(f"map: {len(ids)} lines, {len(slam_map.keyframes)} keyframes")
+    ax.set_title(
+        f"map: {len(ids)} lines, {n_pts} points, {len(slam_map.keyframes)} keyframes"
+    )
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
