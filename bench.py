@@ -23,7 +23,7 @@ MAX_ATTEMPTS = int(os.environ.get("TPUSLAM_BENCH_ATTEMPTS", "3"))
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _run(args, env_extra):
+def _run(args, env_extra, timeout=None):
     env = dict(os.environ, **env_extra)
     proc = subprocess.run(
         [sys.executable, "-m", "tpuslam.bench", *args],
@@ -31,7 +31,7 @@ def _run(args, env_extra):
         text=True,
         env=env,
         cwd=_DIR,
-        timeout=int(os.environ.get("TPUSLAM_BENCH_TIMEOUT", "1800")),
+        timeout=timeout or int(os.environ.get("TPUSLAM_BENCH_TIMEOUT", "1800")),
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
@@ -60,7 +60,7 @@ def main():
             break  # healthy process; no need to re-roll
     ba_ms = 0.0
     try:
-        ba = _run(["--ba"], {})
+        ba = _run(["--ba"], {}, timeout=900)
         ba_ms = ba.get("local_ba_ms", 0.0)
     except (RuntimeError, subprocess.TimeoutExpired) as e:
         print(f"ba bench failed: {e}", file=sys.stderr)
@@ -68,11 +68,15 @@ def main():
     # single host thread), in its own subprocess so the LM+Schur compile
     # cannot degrade the headline process (PERF_NOTES.md cliff)
     map_fps = 0.0
+    map_ate = -1.0
     try:
-        m = _run([], {"TPUSLAM_BENCH_FRAMES": "60", "TPUSLAM_BENCH_NOMAP": "0",
-                      "TPUSLAM_BENCH_DEVFEED": "0"})
+        # bounded: this is a secondary metric — a lost compile lottery here
+        # must not starve the driver's bench budget of the headline JSON
+        m = _run([], {"TPUSLAM_BENCH_FRAMES": "40", "TPUSLAM_BENCH_NOMAP": "0",
+                      "TPUSLAM_BENCH_DEVFEED": "0"}, timeout=1200)
         map_fps = m.get("fps_median", 0.0)
-        print(f"mapping-enabled bench: {map_fps:.2f} fps", file=sys.stderr)
+        map_ate = m.get("ate_rmse", -1.0)
+        print(f"mapping-enabled bench: {map_fps:.2f} fps ate={map_ate:.4f}", file=sys.stderr)
     except (RuntimeError, subprocess.TimeoutExpired) as e:
         print(f"mapping-enabled bench failed: {e}", file=sys.stderr)
     if best is None:
@@ -98,6 +102,8 @@ def main():
             "local_ba_ms": round(ba_ms, 3),
             "fps_device_feed": round(best.get("fps_device_feed", 0.0), 2),
             "fps_with_mapping": round(map_fps, 2),
+            "ate_rmse": round(best.get("ate_rmse", -1.0), 4),
+            "ate_rmse_with_mapping": round(map_ate, 4),
             "device": best["device"],
             "keyframes": best["keyframes"],
             "lines": best["lines"],

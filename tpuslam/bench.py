@@ -105,6 +105,22 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
     )
     if os.environ.get("TPUSLAM_BENCH_DEVFEED", "1") == "1":
         out["fps_device_feed"] = _device_feed_fps(sys_, imgs, log)
+    # trajectory accuracy of the benchmarked run itself (vs the synthetic
+    # scene's ground truth) — speed numbers mean nothing if tracking drifted
+    try:
+        sys_.shutdown()
+        from tpuslam.eval.ate import absolute_trajectory_error
+
+        traj = sys_.trajectory
+        if traj:
+            est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in traj])
+            gt = np.stack(
+                [np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj]
+            )
+            out["ate_rmse"] = float(absolute_trajectory_error(est, gt).rmse)
+    except Exception as e:  # accuracy reporting must not kill the bench
+        log(f"bench: ate computation failed: {e}")
+
     if not quiet:
         print(json.dumps(out, default=float))
     return out
