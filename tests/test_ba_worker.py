@@ -43,6 +43,70 @@ def test_worker_solve_matches_in_process(rng, worker):
     np.testing.assert_array_equal(res["inl_l"], ref["inl_l"])
 
 
+def test_blocking_solve_during_inflight_submit(rng, worker):
+    """The round-2 advisor's high finding: a blocking solve() (global BA at
+    loop closure) issued while an async submit() (local BA) is in flight must
+    NOT consume the async solve's response — each request is id-tagged and
+    responses are matched/stashed."""
+    from tpuslam.backend.local_ba import LocalBAConfig, solve_in_process
+    from tpuslam.parallel.sharded_ba import _toy_problem
+
+    cfg = LocalBAConfig()
+    prob_a = _toy_problem(rng, P_=4, L=32, OL=128, cam=CAM)
+    prob_b = _toy_problem(np.random.default_rng(7), P_=8, L=64, OL=256, cam=CAM)
+    ref_a = solve_in_process(prob_a, CAM, cfg)
+    ref_b = solve_in_process(prob_b, CAM, cfg)
+
+    req_a = worker.submit(
+        {f: np.asarray(getattr(prob_a, f)) for f in prob_a._fields},
+        cfg.lm, cfg.chi2_line, cfg.chi2_point,
+    )
+    # blocking solve of a DIFFERENT-shaped problem while A is in flight
+    res_b, err = worker.solve(
+        {f: np.asarray(getattr(prob_b, f)) for f in prob_b._fields},
+        cfg.lm, cfg.chi2_line, cfg.chi2_point, timeout=600.0,
+    )
+    assert err is None, err
+    assert res_b["poses"].shape == ref_b["poses"].shape
+    np.testing.assert_allclose(res_b["poses"], ref_b["poses"], atol=1e-5)
+    # A's response was stashed, not swallowed: poll still delivers it
+    out = worker.poll(req_a, timeout=600.0)
+    assert out is not None, "async solve's response was lost"
+    res_a, err = out
+    assert err is None, err
+    assert res_a["poses"].shape == ref_a["poses"].shape
+    np.testing.assert_allclose(res_a["poses"], ref_a["poses"], atol=1e-5)
+
+
+def test_stale_generation_discard():
+    """The round-2 advisor's medium finding: an async BA solve assembled
+    before a loop-closure correction must be discarded at write-back, not
+    applied over the corrected poses."""
+    from tpuslam.backend.mapping import LocalMapper, MapperConfig
+    from tpuslam.slammap.map import SlamMap
+
+    class FakeSolver:
+        def poll(self, req_id, timeout=0.0):
+            return {"poses": np.zeros((1, 4, 4)), "lines": np.zeros((1, 6)),
+                    "points": np.zeros((1, 3)), "cost": 0.0,
+                    "solve_ms": 1.0}, None
+
+    m = SlamMap()
+    mapper = LocalMapper(m, CAM, MapperConfig(), solver=FakeSolver())
+    mapper._ba_ctx = {"generation": m.generation, "window": [], "fixed": [],
+                      "kf_order": [], "line_order": [], "point_ids": [],
+                      "obs_table": np.zeros((0, 3), np.int32),
+                      "p_obs_table": np.zeros((0, 3), np.int32),
+                      "pose_free": np.zeros(1, np.float32)}
+    mapper._ba_req = 1
+    m.generation += 1  # loop closure corrected the map mid-flight
+    mapper._poll_ba(blocking=False)
+    assert mapper.ba_stale == 1
+    assert mapper.last_ba is None  # result discarded, not applied
+    assert mapper._ba_ctx is None  # but the in-flight slot is freed
+    assert mapper.solve_ms == [1.0]  # timing still recorded
+
+
 def test_system_with_worker_mapping(rng):
     """Full System run with the async worker-backed mapper: tracking stays
     OK, BA results get applied (last_ba set after drain), trajectory sane."""

@@ -16,6 +16,15 @@ compile/executable set small and healthy:
 - the RPC moves ~1-2 MB of padded problem arrays per keyframe over a pipe
   (host<->host, no chip round trip) — noise next to the solve itself.
 
+Protocol: every request carries a client-assigned sequence id and every
+response echoes it. The client matches responses to ids and stashes
+out-of-order arrivals, so a blocking `solve()` (global BA during loop
+closure) can never consume the result of an in-flight async `submit()`
+(local BA) — the two would otherwise write bucket-sized arrays across the
+wrong parts of the map. All pipe sends go through one writer lock: a ~2 MB
+problem exceeds the 64 KB pipe buffer, so an unlocked send from two threads
+would interleave the pickle stream.
+
 The worker runs on the same chip; the device interleaves its solves with
 tracking dispatches (two attached processes share the tunnel).
 """
@@ -25,6 +34,7 @@ from __future__ import annotations
 import multiprocessing as mp
 import os
 import threading
+import time
 from typing import Optional, Tuple
 
 import numpy as np
@@ -49,7 +59,7 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
     # parent's first solve never waits for the full bucket ladder — a solve
     # against an unwarmed bucket simply compiles here, in THIS process,
     # where the compile cannot degrade the tracking process's dispatches
-    conn.send(("ready", None))
+    conn.send(("ready", -1, None))
     warm_queue = (
         list(warm_caps)
         if os.environ.get("TPUSLAM_BA_WORKER_WARMUP", "1") == "1"
@@ -76,85 +86,133 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
             return
         if msg is None:
             return
-        kind, payload = msg
+        kind, req_id, payload = msg
         if kind != "solve":
             continue
         prob_arrays, lm_cfg, chi2_line, chi2_point = payload
         try:
+            t0 = time.perf_counter()
             prob = BAProblem(**prob_arrays)
             state = _run_lm_jit(prob, cam, lm_cfg)
             inl_l, inl_p = _chi2_jit(state, prob, cam, float(chi2_line), float(chi2_point))
-            conn.send(
-                (
-                    "ok",
-                    dict(
-                        poses=np.asarray(state.poses),
-                        lines=np.asarray(state.lines),
-                        points=np.asarray(state.points),
-                        cost=float(np.asarray(state.cost)),
-                        inl_l=np.asarray(inl_l),
-                        inl_p=np.asarray(inl_p),
-                    ),
-                )
+            res = dict(
+                poses=np.asarray(state.poses),
+                lines=np.asarray(state.lines),
+                points=np.asarray(state.points),
+                cost=float(np.asarray(state.cost)),
+                inl_l=np.asarray(inl_l),
+                inl_p=np.asarray(inl_p),
             )
+            # wall time incl. host sync; first solve per bucket includes the
+            # compile — callers take medians over warm solves
+            res["solve_ms"] = (time.perf_counter() - t0) * 1e3
+            conn.send(("ok", req_id, res))
         except Exception as e:  # surface to the parent
-            conn.send(("err", repr(e)))
+            conn.send(("err", req_id, repr(e)))
 
 
 class BASolverWorker:
     """Client handle for the persistent solver subprocess."""
 
+    _DEFAULT_WARM = ((8, 128, 512), (16, 256, 1024), (16, 512, 2048), (24, 512, 2048))
+
     def __init__(
         self,
         cam,
-        warm_caps=((8, 128, 512), (16, 256, 1024), (16, 512, 2048), (24, 512, 2048)),
+        warm_caps=_DEFAULT_WARM,
         platform: Optional[str] = None,
     ):
         if platform is None:
             import jax
 
             platform = "cpu" if jax.default_backend() == "cpu" else None
+        self._ctor = (cam, tuple(warm_caps), platform)  # for restart()
+        self._spawn()
+
+    def _spawn(self):
+        cam, warm_caps, platform = self._ctor
         ctx = mp.get_context("spawn")
         self._conn, child = ctx.Pipe()
-        cam_tuple = tuple(cam)
         self._proc = ctx.Process(
             target=_worker_main,
-            args=(child, tuple(warm_caps), cam_tuple, platform),
+            args=(child, warm_caps, tuple(cam), platform),
             daemon=True,
         )
         self._proc.start()
         child.close()
         self._ready = False
+        self._send_lock = threading.Lock()
+        self._next_id = 0
+        self._stash: dict = {}  # req_id -> (kind, payload) received out of order
+
+    def restart(self):
+        """Kill and respawn the worker (drain-timeout recovery: a late result
+        from the dead incarnation can never be mispaired with a new request
+        because the old pipe dies with it)."""
+        self.close()
+        self._spawn()
 
     def wait_ready(self, timeout: float = 1800.0):
         if self._ready:
             return
         if not self._conn.poll(timeout):
             raise TimeoutError("BA worker did not come up")
-        kind, _ = self._conn.recv()
+        kind, _, _ = self._conn.recv()
         assert kind == "ready"
         self._ready = True
 
-    # ---- async API (the LocalMapper per-keyframe pipeline) ---------------
-    def submit(self, prob_arrays: dict, lm_cfg, chi2_line: float, chi2_point: float):
-        """Non-blocking: enqueue a solve. Exactly one solve should be in
-        flight (LocalMapper enforces this). The send runs on a writer thread:
-        a ~2 MB problem exceeds the pipe buffer, and a blocking send would
-        stall the tracking process for as long as the worker is busy
-        (measured 3.5 s per keyframe while the worker warmed its buckets)."""
-        self.wait_ready()
-        msg = ("solve", (prob_arrays, lm_cfg, chi2_line, chi2_point))
-        self._send_thread = threading.Thread(
-            target=self._conn.send, args=(msg,), daemon=True
-        )
-        self._send_thread.start()
+    def _send_async(self, msg):
+        """All sends go through one lock on a writer thread: a ~2 MB problem
+        exceeds the pipe buffer, so (a) a blocking send would stall the
+        tracking loop for as long as the worker is busy, and (b) concurrent
+        sends would interleave the pickle stream."""
 
-    def poll(self, timeout: float = 0.0):
-        """Result of the in-flight solve, or None if still running.
+        def _locked_send():
+            with self._send_lock:
+                try:
+                    self._conn.send(msg)
+                except (OSError, ValueError, BrokenPipeError):
+                    pass  # worker died; poll()/solve() report the failure
+
+        t = threading.Thread(target=_locked_send, daemon=True)
+        t.start()
+        return t
+
+    def _recv_matching(self, req_id: int, timeout: float):
+        """Next response for ``req_id`` or None; stashes other ids."""
+        if req_id in self._stash:
+            return self._stash.pop(req_id)
+        deadline = time.monotonic() + timeout
+        while True:
+            remain = deadline - time.monotonic()
+            if not self._conn.poll(max(remain, 0.0)):
+                return None
+            kind, rid, payload = self._conn.recv()
+            if kind == "ready":
+                self._ready = True
+                continue
+            if rid == req_id:
+                return kind, payload
+            self._stash[rid] = (kind, payload)
+            if time.monotonic() >= deadline:
+                return None
+
+    # ---- async API (the LocalMapper per-keyframe pipeline) ---------------
+    def submit(self, prob_arrays: dict, lm_cfg, chi2_line: float, chi2_point: float) -> int:
+        """Non-blocking: enqueue a solve; returns the request id to poll."""
+        self.wait_ready()
+        self._next_id += 1
+        req_id = self._next_id
+        self._send_async(("solve", req_id, (prob_arrays, lm_cfg, chi2_line, chi2_point)))
+        return req_id
+
+    def poll(self, req_id: int, timeout: float = 0.0):
+        """Result of solve ``req_id``, or None if still running.
         Returns (res dict, None) | (None, err) | None."""
-        if not self._conn.poll(timeout):
+        out = self._recv_matching(req_id, timeout)
+        if out is None:
             return None
-        kind, payload = self._conn.recv()
+        kind, payload = out
         if kind == "ok":
             return payload, None
         return None, str(payload)
@@ -167,12 +225,24 @@ class BASolverWorker:
         chi2_point: float,
         timeout: float = 1800.0,
     ) -> Tuple[dict, Optional[str]]:
-        """Blocking solve RPC. Returns (result dict, None) or (None, error)."""
+        """Blocking solve RPC. Returns (result dict, None) or (None, error).
+
+        Safe to call while an async submit() is in flight: the worker
+        processes requests in order, and any earlier response that arrives
+        first is stashed for its own poll() — never consumed here (the
+        round-2 advisor's cross-talk finding)."""
         self.wait_ready(timeout)
-        self._conn.send(("solve", (prob_arrays, lm_cfg, chi2_line, chi2_point)))
-        if not self._conn.poll(timeout):
+        self._next_id += 1
+        req_id = self._next_id
+        # writer thread even for the blocking path: the worker may be mid-
+        # solve with its outbound pipe full; a blocking send here while the
+        # worker blocks sending to us would deadlock. The recv loop below
+        # drains our end, letting both sides make progress.
+        self._send_async(("solve", req_id, (prob_arrays, lm_cfg, chi2_line, chi2_point)))
+        out = self._recv_matching(req_id, timeout)
+        if out is None:
             return None, "BA worker solve timed out"
-        kind, payload = self._conn.recv()
+        kind, payload = out
         if kind == "ok":
             return payload, None
         return None, str(payload)
@@ -180,10 +250,12 @@ class BASolverWorker:
     def close(self):
         try:
             if self._proc.is_alive():
-                self._conn.send(None)
+                with self._send_lock:
+                    self._conn.send(None)
                 self._proc.join(timeout=10.0)
                 if self._proc.is_alive():
                     self._proc.terminate()
+            self._conn.close()
         except Exception:
             pass
 

@@ -436,6 +436,9 @@ class LoopCloser:
         kf.loop_edges.add(cand_kid)
         cand.loop_edges.add(kf.kid)
         self.closed_loops.append((kf.kid, cand_kid))
+        # invalidate any in-flight async local-BA solve: it was assembled
+        # from pre-correction poses and would revert this correction
+        self.map.generation += 1
 
         if self.cfg.run_global_ba:
             # SURVEY §4.4: the reference launches global BA on a thread after

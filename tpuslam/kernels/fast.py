@@ -143,16 +143,23 @@ def detect_corners(img: jnp.ndarray, max_points: int = 256, params: FASTParams =
     )
     score = score * inside
 
-    # NMS: keep pixels that equal their neighborhood max (ties broken by a
-    # deterministic sub-ULP index dither so double-selections cannot happen)
+    # NMS: keep pixels that equal their neighborhood max. Exact-tie
+    # double-selection is resolved by a second max-pool over the flat index
+    # of own-window maxima: two equal-score maxima within one window see
+    # each other (symmetric radius), so only the higher index survives.
+    # (A score dither cannot do this exactly in f32 — an index step small
+    # enough to never reorder distinct scores is below the ULP of typical
+    # score magnitudes, and a representable step biases near-ties.)
     r = params.nms_radius
-    dither = (yy * W + xx).astype(jnp.float32) * 1e-6
-    s_d = score + dither * (score > 0).astype(jnp.float32)
-    mx = jax.lax.reduce_window(
-        s_d, -jnp.inf, jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
-    )
-    keepf = (s_d >= mx).astype(jnp.float32) * (score > 0).astype(jnp.float32)
-    flat_score = (s_d * keepf).reshape(-1)
+    win = (2 * r + 1, 2 * r + 1)
+    mx = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, win, (1, 1), "SAME")
+    posf = (score > 0).astype(jnp.float32)
+    is_max = (score >= mx).astype(jnp.float32) * posf
+    idx_f = (yy * W + xx).astype(jnp.float32)  # exact in f32: H*W < 2^24
+    g = jnp.where(is_max > 0, idx_f, -1.0)
+    gmx = jax.lax.reduce_window(g, -jnp.inf, jax.lax.max, win, (1, 1), "SAME")
+    keepf = is_max * (idx_f >= gmx).astype(jnp.float32)
+    flat_score = (score * keepf).reshape(-1)
 
     top, idx = jax.lax.top_k(flat_score, K)
     ky, kx = jnp.divmod(idx, W)

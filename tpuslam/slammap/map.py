@@ -189,6 +189,10 @@ class SlamMap:
         self.keyframes: Dict[int, KeyFrame] = {}
         self.lines = MapLineStore(line_capacity)
         self.points = MapPointStore(point_capacity)
+        # bumped on every global pose/landmark correction (loop closure);
+        # async BA results assembled under an older generation are stale
+        # (the reference's mbAbortBA analog) and must be discarded
+        self.generation = 0
         # native C++ graph runtime (SURVEY §2 L3; native/mapstore.cpp): the
         # per-keyframe covisibility recount is the hottest host loop, and it
         # runs over flat C arrays there instead of python dict churn. The
