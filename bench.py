@@ -1,37 +1,50 @@
 #!/usr/bin/env python
-"""Driver benchmark entry: prints ONE JSON line with the headline metric.
+"""Driver benchmark entry: prints the headline metric as ONE JSON line.
 
 Headline (BASELINE.json): stereo VGA tracking FPS on a single chip, target
->= 200. vs_baseline = measured / 200.
+>= 200. vs_baseline = measured / 200. The headline value is the
+mapping-ENABLED full-system number (local BA running through the persistent
+worker subprocess) — the honest figure for a single-host-thread design;
+tracking-only and device-feed fps are reported alongside in `detail`.
 
-Structure (PERF_NOTES.md): two subprocesses —
-1. tracking FPS, mapping disabled in-process (the reference runs mapping on
-   a background thread; here the local-BA program's minutes-long remote
-   compile would otherwise degrade every tracking dispatch), with retries
-   because the axon compile service's latency lottery can still degrade a
-   process;
-2. local-BA solve timing in its own process.
+Artifact discipline: the driver's budget is finite and the axon
+compile-service latency lottery is real, so this harness
+- prints the headline JSON IMMEDIATELY after the first completed sub-bench
+  (and re-prints an enriched line as later stages finish — every printed
+  line is a complete, parseable result);
+- enforces ONE global deadline (TPUSLAM_BENCH_DEADLINE, default 1200 s)
+  across all stages; a stage that cannot fit the remaining budget is
+  skipped, never started;
+- takes local-BA ms from the BA worker's own warm solve timings inside the
+  headline run instead of a cold-compile --ba subprocess (the round-2
+  failure: that subprocess burned 900 s on one LM+Schur compile).
 """
 
 import json
 import os
 import subprocess
 import sys
+import time
 
-HEALTHY_TRACK_MS = float(os.environ.get("TPUSLAM_BENCH_HEALTHY_MS", "100"))
-MAX_ATTEMPTS = int(os.environ.get("TPUSLAM_BENCH_ATTEMPTS", "3"))
 _DIR = os.path.dirname(os.path.abspath(__file__))
+DEADLINE = float(os.environ.get("TPUSLAM_BENCH_DEADLINE", "1200"))
+HEALTHY_TRACK_MS = float(os.environ.get("TPUSLAM_BENCH_HEALTHY_MS", "100"))
+_T0 = time.monotonic()
 
 
-def _run(args, env_extra, timeout=None):
+def _remaining() -> float:
+    return DEADLINE - (time.monotonic() - _T0)
+
+
+def _run(env_extra, timeout):
     env = dict(os.environ, **env_extra)
     proc = subprocess.run(
-        [sys.executable, "-m", "tpuslam.bench", *args],
+        [sys.executable, "-m", "tpuslam.bench"],
         capture_output=True,
         text=True,
         env=env,
         cwd=_DIR,
-        timeout=timeout or int(os.environ.get("TPUSLAM_BENCH_TIMEOUT", "1800")),
+        timeout=timeout,
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
@@ -40,45 +53,89 @@ def _run(args, env_extra, timeout=None):
     raise RuntimeError(f"bench subprocess produced no result: {proc.stderr[-2000:]}")
 
 
+def _emit(best, extra):
+    """Print a complete headline JSON line from whatever has finished."""
+    line = {
+        "metric": "stereo_vga_tracking_fps",
+        "value": round(best["fps_median"], 2),
+        "unit": "fps",
+        "vs_baseline": round(best["fps_median"] / 200.0, 4),
+        "detail": {
+            "track_ms_median": round(best["track_ms_median"], 3),
+            "local_ba_ms": round(best.get("local_ba_ms", 0.0), 3),
+            "mapping_enabled": bool(best.get("_mapping", False)),
+            "fps_device_feed": round(best.get("fps_device_feed", 0.0), 2),
+            "ate_rmse": round(best.get("ate_rmse", -1.0), 4),
+            "ba_submitted": best.get("ba_submitted", 0),
+            "ba_skipped": best.get("ba_skipped", 0),
+            "ba_stale": best.get("ba_stale", 0),
+            "device": best.get("device", "?"),
+            "keyframes": best.get("keyframes", 0),
+            "lines": best.get("lines", 0),
+            **extra,
+        },
+    }
+    print(json.dumps(line), flush=True)
+
+
 def main():
-    frames = os.environ.get("TPUSLAM_BENCH_FRAMES", "100")
+    frames = os.environ.get("TPUSLAM_BENCH_FRAMES", "80")
     best = None
-    for attempt in range(MAX_ATTEMPTS):
+    extra = {}
+
+    def log(m):
+        print(f"[{time.monotonic()-_T0:6.0f}s] {m}", file=sys.stderr, flush=True)
+
+    # ---- stage 1: mapping-enabled headline (retry once on a degraded roll)
+    for attempt in range(2):
+        budget = min(800.0, _remaining() - 60.0)
+        if budget < 120.0:
+            log("no budget left for a headline attempt")
+            break
         try:
-            res = _run([], {"TPUSLAM_BENCH_FRAMES": frames, "TPUSLAM_BENCH_NOMAP": "1"})
+            res = _run(
+                {"TPUSLAM_BENCH_FRAMES": frames, "TPUSLAM_BENCH_NOMAP": "0",
+                 "TPUSLAM_BENCH_DEVFEED": "1"},
+                timeout=budget,
+            )
         except (RuntimeError, subprocess.TimeoutExpired) as e:
-            print(f"bench attempt {attempt} failed: {e}", file=sys.stderr)
+            log(f"headline attempt {attempt} failed: {e}")
             continue
-        print(
-            f"bench attempt {attempt}: {res['fps_median']:.2f} fps "
-            f"(track {res['track_ms_median']:.1f} ms)",
-            file=sys.stderr,
+        res["_mapping"] = True
+        log(
+            f"headline attempt {attempt}: {res['fps_median']:.2f} fps "
+            f"(track {res['track_ms_median']:.1f} ms, "
+            f"ba {res.get('local_ba_ms', 0.0):.1f} ms)"
         )
         if best is None or res["fps_median"] > best["fps_median"]:
             best = res
-        if res["track_ms_median"] <= HEALTHY_TRACK_MS:
-            break  # healthy process; no need to re-roll
-    ba_ms = 0.0
-    try:
-        ba = _run(["--ba"], {}, timeout=900)
-        ba_ms = ba.get("local_ba_ms", 0.0)
-    except (RuntimeError, subprocess.TimeoutExpired) as e:
-        print(f"ba bench failed: {e}", file=sys.stderr)
-    # in-process mapping-enabled FPS (honest number when a KF lands on the
-    # single host thread), in its own subprocess so the LM+Schur compile
-    # cannot degrade the headline process (PERF_NOTES.md cliff)
-    map_fps = 0.0
-    map_ate = -1.0
-    try:
-        # bounded: this is a secondary metric — a lost compile lottery here
-        # must not starve the driver's bench budget of the headline JSON
-        m = _run([], {"TPUSLAM_BENCH_FRAMES": "40", "TPUSLAM_BENCH_NOMAP": "0",
-                      "TPUSLAM_BENCH_DEVFEED": "0"}, timeout=1200)
-        map_fps = m.get("fps_median", 0.0)
-        map_ate = m.get("ate_rmse", -1.0)
-        print(f"mapping-enabled bench: {map_fps:.2f} fps ate={map_ate:.4f}", file=sys.stderr)
-    except (RuntimeError, subprocess.TimeoutExpired) as e:
-        print(f"mapping-enabled bench failed: {e}", file=sys.stderr)
+            _emit(best, extra)  # artifact exists from this moment on
+        if res["track_ms_median"] <= HEALTHY_TRACK_MS or _remaining() < 400.0:
+            break
+
+    # ---- stage 2: tracking-only secondary (and headline fallback) --------
+    if _remaining() > 240.0:
+        try:
+            res2 = _run(
+                {"TPUSLAM_BENCH_FRAMES": frames, "TPUSLAM_BENCH_NOMAP": "1",
+                 "TPUSLAM_BENCH_DEVFEED": "1"},
+                timeout=min(700.0, _remaining() - 30.0),
+            )
+            log(
+                f"tracking-only: {res2['fps_median']:.2f} fps "
+                f"(device-feed {res2.get('fps_device_feed', 0.0):.1f})"
+            )
+            extra["fps_tracking_only"] = round(res2["fps_median"], 2)
+            extra["fps_tracking_only_device_feed"] = round(
+                res2.get("fps_device_feed", 0.0), 2
+            )
+            if best is None:
+                res2["_mapping"] = False
+                best = res2
+            _emit(best, extra)
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            log(f"tracking-only bench failed: {e}")
+
     if best is None:
         print(
             json.dumps(
@@ -87,29 +144,12 @@ def main():
                     "value": 0.0,
                     "unit": "fps",
                     "vs_baseline": 0.0,
-                    "error": "all attempts failed",
+                    "error": "all attempts failed within the deadline",
                 }
-            )
+            ),
+            flush=True,
         )
         return 1
-    line = {
-        "metric": "stereo_vga_tracking_fps",
-        "value": round(best["fps_median"], 2),
-        "unit": "fps",
-        "vs_baseline": round(best["fps_median"] / 200.0, 4),
-        "detail": {
-            "track_ms_median": round(best["track_ms_median"], 3),
-            "local_ba_ms": round(ba_ms, 3),
-            "fps_device_feed": round(best.get("fps_device_feed", 0.0), 2),
-            "fps_with_mapping": round(map_fps, 2),
-            "ate_rmse": round(best.get("ate_rmse", -1.0), 4),
-            "ate_rmse_with_mapping": round(map_ate, 4),
-            "device": best["device"],
-            "keyframes": best["keyframes"],
-            "lines": best["lines"],
-        },
-    }
-    print(json.dumps(line))
     return 0
 
 

@@ -121,6 +121,17 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
     except Exception as e:  # accuracy reporting must not kill the bench
         log(f"bench: ate computation failed: {e}")
 
+    # local-BA solve cost from the persistent worker's own timings (median
+    # over the run's solves; shutdown() above drained the in-flight one) —
+    # the honest per-solve number, measured warm, no cold-compile subprocess
+    if sys_.mapper is not None:
+        mp_ = sys_.mapper
+        if mp_.solve_ms:
+            out["local_ba_ms"] = float(np.median(mp_.solve_ms))
+        out["ba_submitted"] = mp_.ba_submitted
+        out["ba_skipped"] = mp_.ba_skipped
+        out["ba_stale"] = mp_.ba_stale
+
     if not quiet:
         print(json.dumps(out, default=float))
     return out
