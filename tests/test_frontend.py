@@ -98,6 +98,50 @@ class TestLSD:
         assert min(seg_dist(target, o) for o in ep) < 5.0
 
 
+class TestBaseScale:
+    """Half-resolution detection (FrontendParams.base_scale): geometry must
+    come back in full-res coordinates and long structures must survive."""
+
+    def test_halfres_recalls_long_lines(self):
+        rng = np.random.default_rng(7)
+        scene = make_wireframe_scene(rng, n_segments=60, n_frames=1, cam=CAM)
+        img = render_wireframe_image(scene, 0, noise=1.0, rng=rng)
+        imgf = jnp.asarray(img, jnp.float32) / 255.0
+        full = extract_features(imgf, FrontendParams(max_lines=256))
+        half = extract_features(imgf, FrontendParams(max_lines=256, base_scale=0.5))
+        fe = np.asarray(full.endpoints)[np.asarray(full.valid) > 0.5]
+        fl = np.asarray(full.length)[np.asarray(full.valid) > 0.5]
+        he = np.asarray(half.endpoints)[np.asarray(half.valid) > 0.5]
+        long_full = fe[fl > 60]
+        assert len(long_full) > 8
+        # half-res coordinates are reported at FULL scale: endpoints must
+        # land near the full-res detections, not at half coordinates.
+        # Recall tolerance is measured (benchmarks): 2 px-wide synthetic
+        # wireframe lines are the worst case for downsampled detection;
+        # ~75-80% of long structures survive, E2E ATE is the real gate.
+        found = sum(1 for f in long_full if any(seg_dist(f, h) < 10.0 for h in he))
+        assert found / len(long_full) > 0.6, (found, len(long_full))
+        # sigma doubles (coarser localization)
+        assert np.asarray(half.sigma)[np.asarray(half.valid) > 0.5].min() >= 1.9
+
+    def test_halfres_matching_across_frames(self):
+        rng = np.random.default_rng(8)
+        scene = make_wireframe_scene(rng, n_segments=50, n_frames=3, cam=CAM, motion_scale=0.01)
+        imgs = [render_wireframe_image(scene, f, noise=1.0, rng=rng) for f in range(2)]
+        params = FrontendParams(max_lines=128, base_scale=0.5)
+        fa = extract_features(jnp.asarray(imgs[0], jnp.float32) / 255.0, params)
+        fb = extract_features(jnp.asarray(imgs[1], jnp.float32) / 255.0, params)
+        assert int(np.sum(np.asarray(fa.valid))) > 15
+        m = match_descriptors(
+            fa.desc_bits, fa.valid, fb.desc_bits, fb.valid, MatchParams(max_dist=110, ratio=0.9)
+        )
+        mv = np.asarray(m.valid) > 0.5
+        assert mv.sum() > 10
+        mid_a = np.asarray(fa.midpoint)[mv]
+        mid_b = np.asarray(fb.midpoint)[np.asarray(m.idx)[mv]]
+        assert np.median(np.linalg.norm(mid_a - mid_b, axis=-1)) < 25.0
+
+
 class TestFrontend:
     @pytest.fixture(scope="class")
     def frames(self):

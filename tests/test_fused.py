@@ -82,6 +82,72 @@ def test_fused_pipeline_matches_sync(rng):
     assert len(sys_f.map.lines.live_ids()) >= 20
 
 
+def test_fused_direct_stereo_tracks(rng):
+    """Direct epipolar stereo (left-only detection, depths from image
+    correlation — kernels/stereo_direct.py) through the fused pipeline must
+    track the synthetic rig about as well as the descriptor stereo path."""
+    from tpuslam.kernels.stereo_direct import DirectStereoParams
+
+    n = 14
+    scene, frames = _render_seq(rng, n, u8=True)
+    sys_ = System(
+        CAM,
+        sensor="stereo",
+        loop_closing=False,
+        mapping=True,
+        tracker_cfg=TrackerConfig(
+            pipelined=True, direct_stereo=DirectStereoParams(max_disp=64.0)
+        ),
+    )
+    for f, (il, ir) in enumerate(frames):
+        sys_.track_stereo(il, ir, f * 0.05)
+    sys_.shutdown()
+    traj = sys_.trajectory
+    assert sorted(r.frame_idx for r in traj) == list(range(n))
+    assert all(r.state == TrackingState.OK for r in traj[2:])
+    est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in traj])
+    gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj])
+    ate = absolute_trajectory_error(est, gt)
+    assert ate.rmse < 0.03, ate
+    assert len(sys_.map.lines.live_ids()) >= 20
+
+
+def test_fused_prescaled_halfres_tracks(rng):
+    """Host-prescaled half-res ingest (FrontendParams.prescaled): images are
+    downscaled on the host before the device upload (4x cheaper h2d), the
+    direct-stereo correlation runs at half-res via coord_scale, and geometry
+    stays full-res. Must still track the rig."""
+    from tpuslam.frontend.frame import FrontendParams
+    from tpuslam.kernels.stereo_direct import DirectStereoParams
+
+    n = 14
+    scene, frames = _render_seq(rng, n, u8=True)
+    sys_ = System(
+        CAM,
+        sensor="stereo",
+        loop_closing=False,
+        mapping=True,
+        tracker_cfg=TrackerConfig(
+            pipelined=True,
+            frontend=FrontendParams(base_scale=0.5, prescaled=True),
+            direct_stereo=DirectStereoParams(max_disp=64.0),
+        ),
+    )
+    for f, (il, ir) in enumerate(frames):
+        sys_.track_stereo(il, ir, f * 0.05)
+    sys_.shutdown()
+    traj = sys_.trajectory
+    assert sorted(r.frame_idx for r in traj) == list(range(n))
+    assert all(r.state == TrackingState.OK for r in traj[2:])
+    est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in traj])
+    gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj])
+    ate = absolute_trajectory_error(est, gt)
+    # 160x120 detection on a 320x240 rig: coarser than the VGA bench case,
+    # so the gate is looser than the full-res tests'
+    assert ate.rmse < 0.06, ate
+    assert len(sys_.map.lines.live_ids()) >= 15
+
+
 def test_fused_u8_matches_f32(rng):
     n = 8
     scene, frames_u8 = _render_seq(rng, n, u8=True)

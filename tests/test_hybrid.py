@@ -104,6 +104,45 @@ def test_hybrid_tracks_sparse_line_scene(rng):
     )
 
 
+def test_hybrid_fused_direct_pipeline(rng):
+    """Hybrid points through the FUSED pipeline (direct epipolar stereo,
+    left-only detection): one device dispatch per frame carrying lines AND
+    corners. VERDICT round-2 item 5 — enabling points must no longer force
+    the sync path."""
+    from tpuslam.kernels.stereo_direct import DirectStereoParams
+
+    n = 12
+    scene, _, frames = _render_seq(rng, n, n_segments=22, n_points=130)
+    cfg = TrackerConfig(
+        min_init_lines=8,
+        min_track_matches=6,
+        min_track_inliers=6,
+        max_frames_between_kf=4,
+        points=PointFrontendParams(),
+        direct_stereo=DirectStereoParams(max_disp=64.0),
+        pipelined=True,
+    )
+    sys_ = System(CAM, sensor="stereo", loop_closing=False, mapping=True, tracker_cfg=cfg)
+    assert sys_.tracker._use_fused(), "hybrid+direct must take the fused path"
+    for f, (il, ir) in enumerate(frames):
+        sys_.track_stereo(il, ir, f * 0.05)
+    sys_.shutdown()
+    traj = sys_.trajectory
+    assert sorted(r.frame_idx for r in traj) == list(range(n))
+    ok = [r for r in traj if r.state == TrackingState.OK]
+    assert len(ok) == n, f"lost tracking ({len(ok)}/{n} OK)"
+    est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in traj])
+    gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj])
+    ate = absolute_trajectory_error(est, gt).rmse
+    assert ate < 0.05, f"fused hybrid ATE {ate:.3f}"
+    # the map must carry BOTH landmark families with multi-observations
+    pts = sys_.map.points
+    live = pts.live_ids()
+    assert len(live) >= 15, f"only {len(live)} point landmarks"
+    assert (pts.n_obs[live] >= 2).sum() >= 3, "no multi-observation points"
+    assert len(sys_.map.lines.live_ids()) >= 10
+
+
 def test_hybrid_map_roundtrip(rng, tmp_path):
     """Point landmarks and per-KF point features survive save/load."""
     from tpuslam.slammap.serialize import load_map, save_map

@@ -58,6 +58,41 @@ def _depth_hit_rate(cam, scene, feats):
     return good / max(int(ok.sum()), 1), int(ok.sum())
 
 
+class TestDirectPointStereo:
+    def test_corner_depth_recovery(self, rig):
+        """Direct patch correlation recovers corner depths on the rig: FAST
+        corners on the left image get depths within tolerance of the nearest
+        ground-truth segment endpoint."""
+        from tpuslam.kernels.fast import FASTParams, detect_corners
+        from tpuslam.kernels.stereo_direct import direct_stereo_point_depths
+
+        cam, scene, img_l, img_r, fl = rig
+        pf = detect_corners(jnp.asarray(img_l), 256, FASTParams())
+        out = direct_stereo_point_depths(img_l, img_r, pf, cam.fx * cam.baseline)
+        ok = np.asarray(out.has_depth) > 0.5
+        assert ok.sum() > 10
+        # ground-truth depth at each corner from the segment endpoints
+        T = scene.poses[0]
+        seg_c = scene.segments @ T[:3, :3].T + T[:3, 3]
+        ep = seg_c.reshape(-1, 3)
+        ep = ep[ep[:, 2] > 0.2]
+        uv_gt = np.stack(
+            [cam.fx * ep[:, 0] / ep[:, 2] + cam.cx, cam.fy * ep[:, 1] / ep[:, 2] + cam.cy],
+            axis=-1,
+        )
+        uv = np.asarray(out.uv)[ok]
+        d = np.asarray(out.depth)[ok]
+        good = near = 0
+        for m, dd in zip(uv, d):
+            j = np.argmin(np.linalg.norm(uv_gt - m, axis=-1))
+            if np.linalg.norm(uv_gt[j] - m) < 6:
+                near += 1
+                if abs(dd - ep[j, 2]) / ep[j, 2] < 0.12:
+                    good += 1
+        assert near > 8
+        assert good / max(near, 1) > 0.6, (good, near)
+
+
 class TestDirectStereo:
     def test_depth_recovery(self, rig):
         cam, scene, img_l, img_r, fl = rig
@@ -147,3 +182,30 @@ class TestDirectStereo:
         )
         assert np.asarray(okf)[0] == 1.0
         assert np.allclose(np.asarray(disp)[0], d, atol=0.35)
+
+    def test_coord_scale_halfres_images(self):
+        """Prescaled ingest contract: half-res images + FULL-res endpoint
+        coords + coord_scale=0.5 must return the FULL-res disparity."""
+        rng = np.random.default_rng(1)
+        H, W = 96, 160
+        base = rng.normal(0.0, 0.02, (H, W)).astype(np.float32)
+        img_l, img_r = base.copy(), base.copy()
+        x0, d = 90, 8  # full-res shift (even: survives 2x downsample cleanly)
+        img_l[10:86, x0 : x0 + 4] += 0.8
+        img_r[10:86, x0 - d : x0 - d + 4] += 0.8
+        half_l = 0.25 * (img_l[0::2, 0::2] + img_l[0::2, 1::2] + img_l[1::2, 0::2] + img_l[1::2, 1::2])
+        half_r = 0.25 * (img_r[0::2, 0::2] + img_r[0::2, 1::2] + img_r[1::2, 0::2] + img_r[1::2, 1::2])
+        ep = np.zeros((4, 2, 2), np.float32)
+        ep[0] = [[x0 + 2.0, 12], [x0 + 2.0, 84]]  # FULL-res coords
+        validf = np.zeros(4, np.float32)
+        validf[0] = 1.0
+        ang = np.full(4, np.pi / 2, np.float32)
+        disp, okf = direct_line_disparity(
+            jnp.asarray(half_l), jnp.asarray(half_r), jnp.asarray(ep),
+            jnp.asarray(validf), jnp.asarray(ang),
+            DirectStereoParams(max_disp=16.0, coord_scale=0.5),
+        )
+        assert np.asarray(okf)[0] == 1.0
+        # disparity comes back in FULL-res px (half-res grid -> 2x coarser,
+        # subpixel parabola recovers most of it)
+        assert np.allclose(np.asarray(disp)[0], d, atol=0.8), np.asarray(disp)[0]

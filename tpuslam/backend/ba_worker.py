@@ -65,6 +65,8 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
         if os.environ.get("TPUSLAM_BA_WORKER_WARMUP", "1") == "1"
         else []
     )
+    if not warm_queue:
+        conn.send(("warmed", -1, None))
 
     def warm_one():
         from tpuslam.parallel.sharded_ba import _toy_problem
@@ -75,6 +77,10 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
         state = _run_lm_jit(prob, cam, LMConfig(max_iters=8))
         _chi2_jit(state, prob, cam, ba_cfg.chi2_line, ba_cfg.chi2_point)
         np.asarray(state.cost)  # drain
+        # one "warmed" per bucket: clients can wait for just the first
+        # (smallest, most-used) bucket instead of the full ladder — the big
+        # buckets take minutes each on a bad compile-lottery day
+        conn.send(("warmed", -1, (P_, L_, OL_)))
 
     while True:
         try:
@@ -141,6 +147,7 @@ class BASolverWorker:
         self._proc.start()
         child.close()
         self._ready = False
+        self._warm_count = 0
         self._send_lock = threading.Lock()
         self._next_id = 0
         self._stash: dict = {}  # req_id -> (kind, payload) received out of order
@@ -191,11 +198,36 @@ class BASolverWorker:
             if kind == "ready":
                 self._ready = True
                 continue
+            if kind == "warmed":
+                self._warm_count += 1
+                continue
             if rid == req_id:
                 return kind, payload
             self._stash[rid] = (kind, payload)
             if time.monotonic() >= deadline:
                 return None
+
+    def wait_warm(self, timeout: float = 1800.0, n_buckets: int = 1):
+        """Block until the worker has compiled its first ``n_buckets`` warm
+        buckets. Use before timing-sensitive sections (bench.py): the first
+        real solve otherwise pays a multi-second bucket compile, stalling
+        the async BA cadence (observed: 4/5 windows skipped mid-compile).
+        Default waits for ONE bucket — the small first bucket covers the
+        common local-BA windows, while the full ladder can take minutes of
+        compile on a bad lottery day (it keeps warming in the background)."""
+        self.wait_ready(timeout)
+        deadline = time.monotonic() + timeout
+        while self._warm_count < n_buckets:
+            remain = deadline - time.monotonic()
+            if remain <= 0 or not self._conn.poll(max(remain, 0.0)):
+                raise TimeoutError("BA worker warmup timed out")
+            kind, rid, payload = self._conn.recv()
+            if kind == "ready":
+                self._ready = True
+            elif kind == "warmed":
+                self._warm_count += 1
+            else:
+                self._stash[rid] = (kind, payload)
 
     # ---- async API (the LocalMapper per-keyframe pipeline) ---------------
     def submit(self, prob_arrays: dict, lm_cfg, chi2_line: float, chi2_point: float) -> int:

@@ -55,12 +55,29 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
 
     mapping = os.environ.get("TPUSLAM_BENCH_NOMAP", "0") != "1"
     pipelined = os.environ.get("TPUSLAM_BENCH_PIPELINED", "1") == "1"
+    tcfg = TrackerConfig(pipelined=pipelined)
+    if os.environ.get("TPUSLAM_BENCH_DIRECT", "1") == "1":
+        # direct epipolar stereo: left-only detection (the detector is the
+        # largest term in the frame budget — kernels/stereo_direct.py)
+        from tpuslam.kernels.stereo_direct import DirectStereoParams
+
+        tcfg.direct_stereo = DirectStereoParams()
+    if os.environ.get("TPUSLAM_BENCH_HALFRES", "1") == "1":
+        # detect/describe at half resolution (geometry reported full-res;
+        # probe_direct.py: 23.6 -> 17.8 ms/frame device-side at VGA), and
+        # downscale ON THE HOST (prescaled): the u8 pair upload drops from
+        # ~600 KB to ~150 KB/frame — the h2d transfer was the largest
+        # host-path term (~30 ms at the tunnel's ~20 MB/s, PERF_NOTES.md)
+        from tpuslam.frontend.frame import FrontendParams
+
+        prescaled = os.environ.get("TPUSLAM_BENCH_HOSTSCALE", "1") == "1"
+        tcfg.frontend = FrontendParams(base_scale=0.5, prescaled=prescaled)
     sys_ = System(
         cam,
         sensor="stereo",
         loop_closing=False,
         mapping=mapping,
-        tracker_cfg=TrackerConfig(pipelined=pipelined),
+        tracker_cfg=tcfg,
     )
     if os.environ.get("TPUSLAM_BENCH_WARMUP", "1") == "1":
         from tpuslam.warmup import warmup_tracking
@@ -73,11 +90,28 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             search_params=(tc.search_coarse, tc.search_fine),
             pose_opt_cfg=tc.pose_opt,
             local_capacity=tc.local_capacity,
+            direct_stereo=tc.direct_stereo,
             # the BA worker owns (and lazily warms) the LM programs in its
             # own process; compiling them here too would re-poison this one
             with_mapping=mapping and sys_._ba_worker is None,
             log=log,
         )
+    if mapping and sys_._ba_worker is not None:
+        # hold timing until the worker's FIRST solver bucket is compiled —
+        # the first real solve otherwise pays a ~10 s bucket compile and
+        # most BA windows get skipped while it runs (BENCH_r02 postmortem).
+        # Only the first bucket: the full ladder takes minutes on a bad
+        # compile-lottery day and keeps warming in the background anyway.
+        log("bench: waiting for BA worker warmup (first bucket)...")
+        try:
+            t0 = time.perf_counter()
+            sys_._ba_worker.wait_warm(
+                timeout=float(os.environ.get("TPUSLAM_BENCH_BA_WARM_S", "300")),
+                n_buckets=1,
+            )
+            log(f"bench: BA worker warm in {time.perf_counter() - t0:.1f}s")
+        except TimeoutError:
+            log("bench: BA worker warmup timed out; proceeding cold")
     log("bench: warmup done; tracking...")
     times = []
     for f in range(n_scene_frames):
@@ -153,10 +187,17 @@ def _device_feed_fps(sys_, imgs, log, n=40):
 
     from tpuslam.frontend.pipeline import fused_stereo_frame
 
+    from tpuslam.frontend.frame import host_prescale
+
     tr = sys_.tracker
     if tr._dev_chain is None or tr.state.name != "OK":
         return 0.0
-    pairs = [jnp.asarray(np.stack(imgs[i % len(imgs)])) for i in range(8)]
+    pairs = [
+        jnp.asarray(
+            np.stack([host_prescale(im, tr.cfg.frontend) for im in imgs[i % len(imgs)]])
+        )
+        for i in range(8)
+    ]
     np.asarray(pairs[-1][0, :1, :1])  # drain uploads
     local = tr._local_map_arrays()
     chain = tr._dev_chain
@@ -165,12 +206,16 @@ def _device_feed_fps(sys_, imgs, log, n=40):
         tr.cfg.search_coarse, tr.cfg.search_fine, tr.cfg.pose_opt,
         tr.cfg.min_track_inliers,
     )
-    out = fused_stereo_frame(pairs[0], chain[0], chain[1], local, *args)
+    out = fused_stereo_frame(
+        pairs[0], chain[0], chain[1], local, *args, sd=tr._direct_lines()
+    )
     np.asarray(out.packed)
     pend = None
     t0 = time.perf_counter()
     for i in range(n):
-        out = fused_stereo_frame(pairs[i % 8], chain[0], chain[1], local, *args)
+        out = fused_stereo_frame(
+            pairs[i % 8], chain[0], chain[1], local, *args, sd=tr._direct_lines()
+        )
         chain = (out.T_last, out.T_prevlast)
         if pend is not None:
             np.asarray(pend.packed)  # host resolve, one frame lagged

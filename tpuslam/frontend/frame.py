@@ -37,6 +37,21 @@ class FrontendParams(NamedTuple):
     max_lines: int = 256  # merged per-frame capacity K
     n_levels: int = 2
     scale: float = 0.8
+    # detect + describe at this fraction of the input resolution (feature
+    # geometry is reported in FULL-resolution coordinates, sigma scaled up).
+    # The detector's cost is ~linear in pixel count (CCL propagation,
+    # compat planes, and the (K, N) moment compare-reduces all scan every
+    # pixel), so 0.5 cuts the dominant term of the frame budget ~4x at the
+    # cost of ~2x coarser endpoint localization (absorbed by the per-level
+    # sigma weighting in the pose LM). 1.0 = off.
+    base_scale: float = 1.0
+    # the caller downscales images to base_scale ON THE HOST before they
+    # reach the device (Tracker does this at track_* entry): extract skips
+    # the in-program resize but still reports geometry at full resolution.
+    # Purpose: the h2d image upload is the largest host-path cost on the
+    # axon tunnel (~30 ms for a VGA u8 pair at ~20 MB/s — PERF_NOTES.md);
+    # shipping the half image cuts it 4x.
+    prescaled: bool = False
     lsd: LSDParams = LSDParams()
     lbd: LBDParams = LBDParams()
     # radtan distortion (TUM fr1/fr2, raw EuRoC): detection/description run
@@ -94,13 +109,51 @@ def _lbd_stage(lim, endpoints, lbd_params: LBDParams):
     return lbd_descriptors(gx, gy, endpoints, lbd_params)
 
 
+def prescaled_shape(H: int, W: int, params: FrontendParams):
+    """Image shape the extract programs expect for (H, W) input frames —
+    (H, W) itself unless prescaled host ingest is on."""
+    if not params.prescaled or params.base_scale == 1.0:
+        return H, W
+    s = params.base_scale
+    return max(16, int(round(H * s))), max(16, int(round(W * s)))
+
+
+def host_prescale(img, params: FrontendParams):
+    """Host-side downscale to base_scale for prescaled ingest (numpy mirror
+    of the in-program anti-alias + bilinear resize in `_fused_extract`;
+    preserves dtype so u8 frames stay u8 across the wire)."""
+    import numpy as np
+
+    if not params.prescaled or params.base_scale == 1.0:
+        return img
+    img = np.asarray(img)
+    H, W = img.shape
+    bh, bw = prescaled_shape(H, W, params)
+    s = params.base_scale
+    sig = 0.5 * (1.0 / s - 1.0)
+    try:
+        import cv2
+
+        sm = cv2.GaussianBlur(img, (0, 0), sig) if sig > 0 else img
+        return cv2.resize(sm, (bw, bh), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        pass
+    # numpy fallback: 2x2 area mean (needs the exact-half case)
+    if bh * 2 <= H and bw * 2 <= W and abs(s - 0.5) < 1e-6:
+        a = img[: bh * 2, : bw * 2].astype(np.float32)
+        m = 0.25 * (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2])
+        return m.round().astype(img.dtype) if img.dtype == np.uint8 else m.astype(img.dtype)
+    raise RuntimeError(f"host_prescale: unsupported scale {s} without cv2")
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _merge_levels(per_level, params: FrontendParams) -> FrameFeatures:
     """Scale per-level detections to level 0 and keep top-K by response."""
     K = params.max_lines
     rows = []
+    base_up = 1.0 / params.base_scale
     for lvl, (det, desc, bits) in enumerate(per_level):
-        up = 1.0 / (params.scale**lvl)
+        up = base_up / (params.scale**lvl)
         rows.append(
             dict(
                 endpoints=det.endpoints * up,
@@ -140,6 +193,21 @@ def _merge_levels(per_level, params: FrontendParams) -> FrameFeatures:
 
 @partial(jax.jit, static_argnums=(1,))
 def _fused_extract(img, params: FrontendParams) -> FrameFeatures:
+    if params.base_scale != 1.0 and not params.prescaled:
+        from tpuslam.kernels.image import gaussian_blur
+
+        H, W = img.shape
+        bh = max(16, int(round(H * params.base_scale)))
+        bw = max(16, int(round(W * params.base_scale)))
+        # MILD anti-alias only: the textbook sigma (~0.6/scale = 1.2 at 0.5)
+        # washes out 1-2 px lines entirely — measured recall of long lines
+        # vs full-res detection drops to 46% at sigma 1.2 vs 77% at 0.5
+        # (bilinear resize already averages 2x2 neighborhoods at scale 0.5)
+        img = jax.image.resize(
+            gaussian_blur(img, 0.5 * (1.0 / params.base_scale - 1.0)),
+            (bh, bw),
+            method="linear",
+        )
     levels = _pyramid_jit.__wrapped__(img, params.n_levels, params.scale)
     per_level = []
     for lim in levels:

@@ -59,6 +59,10 @@ class FusedFrameOut(NamedTuple):
     packed: jnp.ndarray  # (20,) f32: pose(16), n_matched, n_inliers, n_depth, accept
     T_last: jnp.ndarray  # (4, 4) accepted (or predicted) pose — chain forward
     T_prevlast: jnp.ndarray  # (4, 4) chain forward
+    # hybrid extras (None in lines-only mode)
+    pfeats: object = None  # PointFeatures with direct-stereo depths (device)
+    p_match_idx: jnp.ndarray | None = None  # (NP,) point landmark -> corner slot
+    p_inlier: jnp.ndarray | None = None  # (NP,) f32
 
 
 def _extract_pair_body(pair, fe: FrontendParams):
@@ -74,6 +78,16 @@ def _extract_pair_body(pair, fe: FrontendParams):
 
 
 _extract_pair = jax.jit(_extract_pair_body, static_argnums=(1,))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _extract_left(pair, fe: FrontendParams):
+    """Left-image-only extract (direct-stereo split mode: the right camera
+    is never detected on — kernels/stereo_direct.py)."""
+    img = pair[0]
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32) / 255.0
+    return _fused_extract.__wrapped__(img, fe)
 
 
 def _track_pair_body(
@@ -93,13 +107,36 @@ def _track_pair_body(
     po: PoseOptConfig,
     min_inliers: int,
 ):
-    from tpuslam.frontend.matcher import _track_stage_body
-
     depth, okf = _fused_stereo.__wrapped__(
         fl.midpoint, fl.angle, fl.length, fl.desc_bits, fl.valid, fl.endpoints,
         fr.midpoint, fr.angle, fr.length, fr.desc_bits, fr.valid, fr.endpoints,
         fxb, sp, 10.0,
     )
+    return _track_core_body(
+        fl, depth, okf, T_last, T_prevlast, lm_plucker, lm_ep3d, lm_bits,
+        lm_validf, cam, sc, sf, po, min_inliers,
+    )
+
+
+def _track_core_body(
+    fl: FrameFeatures,
+    depth,
+    okf,
+    T_last,
+    T_prevlast,
+    lm_plucker,
+    lm_ep3d,
+    lm_bits,
+    lm_validf,
+    cam: Intrinsics,
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    po: PoseOptConfig,
+    min_inliers: int,
+):
+    """Motion-model predict + coarse/fine projection-search pose LM +
+    in-program acceptance (stereo association already done by the caller)."""
+    from tpuslam.frontend.matcher import _track_stage_body
 
     # motion model on device: T_pred = (T_last @ inv(T_prevlast)) @ T_last
     T_pred = T_last @ se3_inverse(T_prevlast) @ T_last
@@ -192,6 +229,193 @@ def _track_pair(
 
 
 @partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
+def _fused_frame_direct(
+    pair, T_last, T_prevlast,
+    lm_plucker, lm_ep3d, lm_bits, lm_validf,
+    fxb: float, cam: Intrinsics, fe: FrontendParams, sd,
+    sc: ProjectionSearchParams, sf: ProjectionSearchParams,
+    po: PoseOptConfig, min_inliers: int,
+):
+    """Direct-stereo fused frame: detect + describe on the LEFT image only;
+    line depths come from direct epipolar correlation against the right
+    IMAGE (kernels/stereo_direct.py). Halves the detector cost — the single
+    largest term in the frame budget (PERF_NOTES.md: ~18-22 ms/image x2
+    under lax.map in the descriptor variant)."""
+    from tpuslam.kernels.stereo_direct import direct_line_disparity_body
+
+    if pair.dtype != jnp.float32:
+        pair = pair.astype(jnp.float32) / 255.0
+    fl = _fused_extract.__wrapped__(pair[0], fe)
+    disp, okf = direct_line_disparity_body(
+        pair[0], pair[1], fl.endpoints, fl.valid, fl.angle, sd
+    )
+    depth = okf[:, None] * fxb / jnp.maximum(disp, 1e-6)
+    depth, okf, midx, inlier, packed, T_acc, T_prev = _track_core_body(
+        fl, depth, okf, T_last, T_prevlast, lm_plucker, lm_ep3d, lm_bits,
+        lm_validf, cam, sc, sf, po, min_inliers,
+    )
+    return fl, depth, okf, midx, inlier, packed, T_acc, T_prev
+
+
+def _track_core_hybrid_body(
+    fl: FrameFeatures,
+    l_depth,
+    l_okf,
+    fp,  # PointFeatures (with direct-stereo depths)
+    T_last,
+    T_prevlast,
+    lm_plucker,
+    lm_ep3d,
+    lm_bits,
+    lm_validf,
+    pm_xyz,
+    pm_bits,
+    pm_validf,
+    cam: Intrinsics,
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    pp,  # PointFrontendParams
+    po: PoseOptConfig,
+    min_inliers: int,
+):
+    """Hybrid (lines + points) analog of `_track_core_body`: one traced
+    coarse/fine stage scanned over the line radius, both landmark families
+    in a single pose LM per stage (SURVEY §3.1 `MapPoint`: the reference
+    optimizes point and line edges in one g2o graph)."""
+    from tpuslam.backend.pose_opt import pose_optimize
+    from tpuslam.frontend.matcher import project_map_lines
+    from tpuslam.geometry.camera import project_points
+    from tpuslam.geometry.se3 import se3_apply
+    from tpuslam.kernels.match import (
+        _match_body,
+        angle_penalty,
+        midpoint_radius_penalty,
+    )
+
+    T_pred = T_last @ se3_inverse(T_prevlast) @ T_last
+    radii = jnp.asarray([sc.radius, sf.radius], jnp.float32)
+
+    def stage(pose, r, sp_=sc):
+        # lines: project + radius/angle gate + MXU match
+        _, mid, ang, visible = project_map_lines(pose, lm_ep3d, cam, sp_.min_z, sp_.margin)
+        pen_l = midpoint_radius_penalty(mid, fl.midpoint, r) + angle_penalty(
+            ang, fl.angle, sp_.angle_tol
+        )
+        vf_l = lm_validf * visible.astype(jnp.float32)
+        ml = _match_body(lm_bits, vf_l, fl.desc_bits, fl.valid, pen_l, sp_.match)
+        # points: project + radius gate + MXU match
+        p_c = se3_apply(pose, pm_xyz)
+        uv = project_points(cam, p_c)
+        vis = (
+            (p_c[:, 2] > pp.min_z)
+            & (uv[:, 0] >= -20.0) & (uv[:, 0] < cam.width + 20.0)
+            & (uv[:, 1] >= -20.0) & (uv[:, 1] < cam.height + 20.0)
+        )
+        vf_p = pm_validf * vis.astype(jnp.float32)
+        pen_p = midpoint_radius_penalty(uv, fp.uv, pp.radius)
+        mp = _match_body(pm_bits, vf_p, fp.desc_bits, fp.valid, pen_p, pp.match)
+        # joint pose LM
+        l_slot = jnp.maximum(ml.idx, 0)
+        p_slot = jnp.maximum(mp.idx, 0)
+        res = pose_optimize(
+            pose,
+            lm_plucker,
+            fl.endpoints[l_slot],
+            ml.valid,
+            points=pm_xyz,
+            p_uv=fp.uv[p_slot],
+            p_valid=mp.valid,
+            cam=cam,
+            cfg=po,
+            l_sigma=fl.sigma[l_slot],
+        )
+        n_matched = (jnp.sum(ml.valid) + jnp.sum(mp.valid)).astype(jnp.int32)
+        return res.pose, (
+            ml.idx, res.inlier_lines, mp.idx, res.inlier_points,
+            n_matched, res.num_inliers,
+        )
+
+    same_shape = sc._replace(radius=0.0) == sf._replace(radius=0.0)
+    if same_shape:
+        # scan the (coarse, fine) stages with a TRACED radius: stage graph
+        # emitted once per program (compile-size discipline, PERF_NOTES.md)
+        pose_f, (midx2, linl2, pidx2, pinl2, nm2, ni2) = jax.lax.scan(
+            stage, T_pred, radii
+        )
+        midx, l_inl = midx2[1], linl2[1]
+        p_idx, p_inl = pidx2[1], pinl2[1]
+        n_matched, n_inl = nm2[1], ni2[1]
+    else:
+        pose_c, _ = stage(T_pred, jnp.float32(sc.radius), sp_=sc)
+        pose_f, (midx, l_inl, p_idx, p_inl, n_matched, n_inl) = stage(
+            pose_c, jnp.float32(sf.radius), sp_=sf
+        )
+
+    acceptf = (n_inl >= min_inliers).astype(jnp.float32)
+    T_acc = se3_orthonormalize(acceptf * pose_f + (1.0 - acceptf) * T_pred)
+    T_prev_next = acceptf * T_last + (1.0 - acceptf) * T_acc
+    packed = jnp.concatenate(
+        [
+            T_acc.reshape(-1),
+            n_matched[None].astype(jnp.float32),
+            n_inl[None].astype(jnp.float32),
+            jnp.sum(l_okf)[None],
+            acceptf[None],
+        ]
+    )
+    return l_depth, l_okf, midx, l_inl, p_idx, p_inl, packed, T_acc, T_prev_next
+
+
+@partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))
+def _fused_frame_hybrid(
+    pair, T_last, T_prevlast,
+    lm_plucker, lm_ep3d, lm_bits, lm_validf,
+    pm_xyz, pm_bits, pm_validf,
+    fxb: float, cam: Intrinsics, fe: FrontendParams, sd, sdp, pp,
+    sc: ProjectionSearchParams, sf: ProjectionSearchParams,
+    po: PoseOptConfig, min_inliers: int,
+):
+    """Hybrid direct-stereo fused frame: LSD lines + FAST/BRIEF corners
+    detected on the LEFT image only; line AND corner depths from direct
+    epipolar correlation against the right IMAGE; both landmark families in
+    one scanned coarse/fine pose LM; in-program acceptance. ONE dispatch."""
+    from tpuslam.kernels.fast import detect_corners
+    from tpuslam.kernels.stereo_direct import (
+        direct_line_disparity_body,
+        direct_point_disparity_body,
+    )
+
+    if pair.dtype != jnp.float32:
+        pair = pair.astype(jnp.float32) / 255.0
+    fl = _fused_extract.__wrapped__(pair[0], fe)
+    fp = detect_corners.__wrapped__(pair[0], pp.max_points, pp.fast)
+    if fe.prescaled and fe.base_scale != 1.0:
+        # corners were detected on the host-prescaled image: report uv in
+        # full-res coords like the line geometry (the direct-point kernel
+        # maps back with sdp.coord_scale)
+        fp = fp._replace(uv=fp.uv / fe.base_scale)
+    l_disp, l_okf = direct_line_disparity_body(
+        pair[0], pair[1], fl.endpoints, fl.valid, fl.angle, sd
+    )
+    l_depth = l_okf[:, None] * fxb / jnp.maximum(l_disp, 1e-6)
+    p_disp, p_okf = direct_point_disparity_body(pair[0], pair[1], fp.uv, fp.valid, sdp)
+    p_depth = p_okf * fxb / jnp.maximum(p_disp, 1e-6)
+    p_okf = (
+        p_okf
+        * (p_depth > pp.min_depth).astype(jnp.float32)
+        * (p_depth < pp.max_depth).astype(jnp.float32)
+    )
+    fp = fp._replace(depth=p_depth * p_okf, has_depth=p_okf)
+    out = _track_core_hybrid_body(
+        fl, l_depth, l_okf, fp, T_last, T_prevlast,
+        lm_plucker, lm_ep3d, lm_bits, lm_validf,
+        pm_xyz, pm_bits, pm_validf,
+        cam, sc, sf, pp, po, min_inliers,
+    )
+    return (fl, fp) + out
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
 def _fused_frame(
     pair, T_last, T_prevlast,
     lm_plucker, lm_ep3d, lm_bits, lm_validf,
@@ -213,6 +437,38 @@ def _fused_frame(
     return fl, depth, okf, midx, inlier, packed, T_acc, T_prev
 
 
+@partial(jax.jit, static_argnums=(14, 15, 16, 17, 18, 19, 20))
+def _track_direct(
+    pair,
+    fl_mid, fl_ang, fl_len, fl_bits, fl_valid, fl_ep, fl_sigma,
+    T_last, T_prevlast,
+    lm_plucker, lm_ep3d, lm_bits, lm_validf,
+    fxb: float, cam: Intrinsics, sd,
+    sc: ProjectionSearchParams, sf: ProjectionSearchParams,
+    po: PoseOptConfig, min_inliers: int,
+):
+    """Split-mode direct-stereo track program (counterpart of _track_pair):
+    stereo depths from epipolar correlation on the image pair instead of
+    right-camera features."""
+    from tpuslam.kernels.stereo_direct import direct_line_disparity_body
+
+    if pair.dtype != jnp.float32:
+        pair = pair.astype(jnp.float32) / 255.0
+    fl = FrameFeatures(
+        endpoints=fl_ep, valid=fl_valid, angle=fl_ang, length=fl_len,
+        midpoint=fl_mid, response=None, level=None, sigma=fl_sigma,
+        desc=None, desc_bits=fl_bits, depth=None, has_depth=None,
+    )
+    disp, okf = direct_line_disparity_body(
+        pair[0], pair[1], fl.endpoints, fl.valid, fl.angle, sd
+    )
+    depth = okf[:, None] * fxb / jnp.maximum(disp, 1e-6)
+    return _track_core_body(
+        fl, depth, okf, T_last, T_prevlast, lm_plucker, lm_ep3d, lm_bits,
+        lm_validf, cam, sc, sf, po, min_inliers,
+    )
+
+
 def fused_stereo_frame(
     pair: jnp.ndarray,
     T_last: jnp.ndarray,
@@ -226,24 +482,48 @@ def fused_stereo_frame(
     sf: ProjectionSearchParams,
     po: PoseOptConfig,
     min_inliers: int,
+    sd=None,
 ) -> FusedFrameOut:
     """One stereo tracking frame on device: ONE dispatch by default (the
     monolithic program measures 53 ms steady vs the split's 80 — the second
     dispatch's wire/executable overhead outweighs its faster compile), or
     TWO with TPUSLAM_FUSED_SPLIT=1 (extract-pair + stereo/track programs;
     each compiles in well under a minute when the monolithic compile keeps
-    losing the remote-compile lottery)."""
+    losing the remote-compile lottery).
+
+    `sd` (DirectStereoParams, optional): direct epipolar stereo — detect +
+    describe the LEFT image only and recover line depths by correlating
+    against the right IMAGE in-program (kernels/stereo_direct.py). Skips the
+    right-camera detect+LBD entirely (the largest single term in the frame
+    budget)."""
     import os
 
-    statics = (float(fxb), cam, sp, sc, sf, po, int(min_inliers))
-    if os.environ.get("TPUSLAM_FUSED_SPLIT", "0") == "1":
+    split = os.environ.get("TPUSLAM_FUSED_SPLIT", "0") == "1"
+    if sd is not None:
+        if split:
+            fl = _extract_left(pair, fe)
+            depth, okf, midx, inlier, packed, T_acc, T_prev = _track_direct(
+                pair,
+                fl.midpoint, fl.angle, fl.length, fl.desc_bits, fl.valid,
+                fl.endpoints, fl.sigma,
+                T_last, T_prevlast,
+                local["plucker"], local["ep3d"], local["bits"], local["valid"],
+                float(fxb), cam, sd, sc, sf, po, int(min_inliers),
+            )
+        else:
+            fl, depth, okf, midx, inlier, packed, T_acc, T_prev = _fused_frame_direct(
+                pair, T_last, T_prevlast,
+                local["plucker"], local["ep3d"], local["bits"], local["valid"],
+                float(fxb), cam, fe, sd, sc, sf, po, int(min_inliers),
+            )
+    elif split:
         feats2 = _extract_pair(pair, fe)
         fl = jax.tree_util.tree_map(lambda x: x[0], feats2)
         fr = jax.tree_util.tree_map(lambda x: x[1], feats2)
         depth, okf, midx, inlier, packed, T_acc, T_prev = _track_pair(
             *_split_track_args(fl, fr), T_last, T_prevlast,
             local["plucker"], local["ep3d"], local["bits"], local["valid"],
-            *statics,
+            float(fxb), cam, sp, sc, sf, po, int(min_inliers),
         )
     else:
         fl, depth, okf, midx, inlier, packed, T_acc, T_prev = _fused_frame(
@@ -259,6 +539,47 @@ def fused_stereo_frame(
         packed=packed,
         T_last=T_acc,
         T_prevlast=T_prev,
+    )
+
+
+def fused_stereo_frame_hybrid(
+    pair: jnp.ndarray,
+    T_last: jnp.ndarray,
+    T_prevlast: jnp.ndarray,
+    local: dict,
+    plocal: dict,
+    fxb: float,
+    cam: Intrinsics,
+    fe: FrontendParams,
+    sd,  # DirectStereoParams (lines)
+    sdp,  # DirectPointStereoParams (corners)
+    pp,  # PointFrontendParams
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    po: PoseOptConfig,
+    min_inliers: int,
+) -> FusedFrameOut:
+    """One hybrid (line+point) stereo tracking frame: ONE device dispatch,
+    left-only detection, direct epipolar depths for both families."""
+    (
+        fl, fp, l_depth, l_okf, midx, l_inl, p_idx, p_inl, packed, T_acc, T_prev
+    ) = _fused_frame_hybrid(
+        pair, T_last, T_prevlast,
+        local["plucker"], local["ep3d"], local["bits"], local["valid"],
+        plocal["xyz"], plocal["bits"], plocal["valid"],
+        float(fxb), cam, fe, sd, sdp, pp, sc, sf, po, int(min_inliers),
+    )
+    feats = fl._replace(depth=l_depth, has_depth=l_okf)
+    return FusedFrameOut(
+        feats=feats,
+        match_idx=midx,
+        inlier=l_inl,
+        packed=packed,
+        T_last=T_acc,
+        T_prevlast=T_prev,
+        pfeats=fp,
+        p_match_idx=p_idx,
+        p_inlier=p_inl,
     )
 
 

@@ -34,6 +34,7 @@ from tpuslam.frontend.frame import (
     FrontendParams,
     StereoParams,
     extract_features,
+    host_prescale,
     stereo_line_depths,
 )
 from tpuslam.frontend.matcher import (
@@ -51,6 +52,12 @@ from tpuslam.frontend.points import (
     triangulate_stereo_points,
 )
 from tpuslam.geometry.camera import Intrinsics
+from tpuslam.kernels.stereo_direct import (
+    DirectPointStereoParams,
+    DirectStereoParams,
+    direct_stereo_depths,
+    direct_stereo_point_depths,
+)
 from tpuslam.slammap.map import KeyFrame, SlamMap
 
 
@@ -102,6 +109,15 @@ class TrackerConfig:
     # step is not folded into the fused device pipeline yet).
     points: Optional["PointFrontendParams"] = None
     point_local_capacity: int = 512
+    # direct epipolar stereo (kernels/stereo_direct.py): recover line depths
+    # by correlating left segments against the right IMAGE instead of
+    # detecting + describing right-camera lines. Halves the per-frame
+    # detector cost (the largest term in the frame budget). None = the
+    # descriptor stereo path (SURVEY §3.1 Frame "ComputeStereoMatches").
+    direct_stereo: Optional["DirectStereoParams"] = None
+    # corner analog, used when `points` and `direct_stereo` are both set
+    # (the fused hybrid pipeline and the direct sync path)
+    direct_points: "DirectPointStereoParams" = None  # default-constructed lazily
 
 
 @dataclass
@@ -159,16 +175,31 @@ class Tracker:
         self.frame_idx += 1
         if not hasattr(self, "_fxb"):
             self._fxb = jnp.float32(self.cam.fx * self.cam.baseline)
+        if self.cfg.frontend.prescaled:
+            # half-res host ingest: downscale BEFORE the device upload (the
+            # h2d image transfer dominates the host path — pipeline.py) so
+            # every downstream consumer (fused program, sync fallback,
+            # drains) sees one consistent image scale
+            img_left = host_prescale(img_left, self.cfg.frontend)
+            img_right = host_prescale(img_right, self.cfg.frontend)
         if self._use_fused() and self.state == TrackingState.OK:
             return self._track_stereo_fused(img_left, img_right, timestamp)
         self._drain_fused()
-        fl = extract_features(jnp.asarray(_img_f32(img_left)), self.cfg.frontend)
-        fr = extract_features(jnp.asarray(_img_f32(img_right)), self.cfg.frontend)
-        feats = stereo_line_depths(fl, fr, self._fxb, self.cfg.stereo)
+        feats = self._stereo_features(img_left, img_right)
         if self.cfg.points is not None:
-            pl = extract_points(jnp.asarray(_img_f32(img_left)), self.cfg.points)
-            pr_ = extract_points(jnp.asarray(_img_f32(img_right)), self.cfg.points)
-            self._cur_pfeats = stereo_point_depths(pl, pr_, self._fxb, self.cfg.points)
+            pl = self._upscale_points(
+                extract_points(jnp.asarray(_img_f32(img_left)), self.cfg.points)
+            )
+            if self.cfg.direct_stereo is not None:
+                self._cur_pfeats = direct_stereo_point_depths(
+                    jnp.asarray(_img_f32(img_left)), jnp.asarray(_img_f32(img_right)),
+                    pl, self._fxb, self._direct_points(),
+                )
+            else:
+                pr_ = self._upscale_points(
+                    extract_points(jnp.asarray(_img_f32(img_right)), self.cfg.points)
+                )
+                self._cur_pfeats = stereo_point_depths(pl, pr_, self._fxb, self.cfg.points)
         r = self._track(feats, timestamp, stereo=True)
         if r is not None:
             self._completed.append(r)
@@ -176,8 +207,22 @@ class Tracker:
 
     def track_monocular(self, img: np.ndarray, timestamp: float) -> FrameResult:
         self.frame_idx += 1
+        if self.cfg.frontend.prescaled:
+            img = host_prescale(img, self.cfg.frontend)
         feats = extract_features(jnp.asarray(_img_f32(img)), self.cfg.frontend)
         return self._track(feats, timestamp, stereo=False)
+
+    def _stereo_features(self, img_left: np.ndarray, img_right: np.ndarray) -> FrameFeatures:
+        """Left features with stereo depths — descriptor stereo (detect both
+        cameras) or, with cfg.direct_stereo set, direct epipolar correlation
+        against the right image (left-only detection)."""
+        il = jnp.asarray(_img_f32(img_left))
+        fl = extract_features(il, self.cfg.frontend)
+        if self.cfg.direct_stereo is not None:
+            ir = jnp.asarray(_img_f32(img_right))
+            return direct_stereo_depths(il, ir, fl, self._fxb, self._direct_lines())
+        fr = extract_features(jnp.asarray(_img_f32(img_right)), self.cfg.frontend)
+        return stereo_line_depths(fl, fr, self._fxb, self.cfg.stereo)
 
     def pop_results(self) -> List[FrameResult]:
         """Drain FrameResults beyond the one returned by track_* (pipeline
@@ -191,9 +236,37 @@ class Tracker:
         return (
             self.cfg.pipelined
             and self.cfg.fused
-            and self.cfg.points is None  # hybrid runs on the sync path
+            # hybrid points run fused only with direct stereo (left-only
+            # detection); descriptor-stereo hybrid stays on the sync path
+            and (self.cfg.points is None or self.cfg.direct_stereo is not None)
             and os.environ.get("TPUSLAM_FUSED", "1") == "1"
         )
+
+    def _direct_points(self) -> DirectPointStereoParams:
+        return self._inject_coord_scale(self.cfg.direct_points or DirectPointStereoParams())
+
+    def _direct_lines(self) -> Optional[DirectStereoParams]:
+        if self.cfg.direct_stereo is None:
+            return None
+        return self._inject_coord_scale(self.cfg.direct_stereo)
+
+    def _upscale_points(self, pf):
+        """Corner uv from a prescaled image -> full-res coords (line geometry
+        gets this inside _merge_levels; points are detected raw)."""
+        fe = self.cfg.frontend
+        if fe.prescaled and fe.base_scale != 1.0:
+            return pf._replace(uv=pf.uv / fe.base_scale)
+        return pf
+
+    def _inject_coord_scale(self, p):
+        """With prescaled host ingest the correlation images are at
+        base_scale but feature geometry stays full-res: set the kernel's
+        coord_scale (and shrink the disparity search to the same metric
+        range) unless the config already did."""
+        from tpuslam.kernels.stereo_direct import inject_coord_scale
+
+        fe = self.cfg.frontend
+        return inject_coord_scale(p, fe.base_scale, fe.prescaled)
 
     def _track_stereo_fused(self, il, ir, timestamp: float) -> Optional[FrameResult]:
         from tpuslam.frontend.pipeline import AsyncUploader
@@ -209,7 +282,10 @@ class Tracker:
     def _fuse_compute(self, up):
         """Enqueue the fused frame program for an uploaded frame, then
         resolve the previous fused frame (its d2h overlaps this compute)."""
-        from tpuslam.frontend.pipeline import fused_stereo_frame
+        from tpuslam.frontend.pipeline import (
+            fused_stereo_frame,
+            fused_stereo_frame_hybrid,
+        )
 
         pidx, pts, handle = up
         (pair_dev,) = handle.get()
@@ -221,25 +297,49 @@ class Tracker:
                 jnp.asarray(vel_inv @ T_last),
             )
         local = self._local_map_arrays()
-        out = fused_stereo_frame(
-            pair_dev,
-            self._dev_chain[0],
-            self._dev_chain[1],
-            local,
-            float(self.cam.fx * self.cam.baseline),
-            self.cam,
-            self.cfg.frontend,
-            self.cfg.stereo,
-            self.cfg.search_coarse,
-            self.cfg.search_fine,
-            self.cfg.pose_opt,
-            self.cfg.min_track_inliers,
-        )
+        hybrid = self.cfg.points is not None
+        if hybrid:
+            plocal = self._point_local_arrays()
+            out = fused_stereo_frame_hybrid(
+                pair_dev,
+                self._dev_chain[0],
+                self._dev_chain[1],
+                local,
+                plocal,
+                float(self.cam.fx * self.cam.baseline),
+                self.cam,
+                self.cfg.frontend,
+                self._direct_lines(),
+                self._direct_points(),
+                self.cfg.points,
+                self.cfg.search_coarse,
+                self.cfg.search_fine,
+                self.cfg.pose_opt,
+                self.cfg.min_track_inliers,
+            )
+        else:
+            out = fused_stereo_frame(
+                pair_dev,
+                self._dev_chain[0],
+                self._dev_chain[1],
+                local,
+                float(self.cam.fx * self.cam.baseline),
+                self.cam,
+                self.cfg.frontend,
+                self.cfg.stereo,
+                self.cfg.search_coarse,
+                self.cfg.search_fine,
+                self.cfg.pose_opt,
+                self.cfg.min_track_inliers,
+                sd=self._direct_lines(),
+            )
         self._dev_chain = (out.T_last, out.T_prevlast)
         self._resolve_fused()
         if self.state == TrackingState.OK:
             self._fuse_pending = (
-                pidx, pts, out, self._local_ids.copy(), self._local_valid.copy()
+                pidx, pts, out, self._local_ids.copy(), self._local_valid.copy(),
+                self._plocal_ids.copy() if hybrid else None,
+                self._plocal_valid.copy() if hybrid else None,
             )
         else:
             # the program above ran against a chain the resolve just declared
@@ -248,6 +348,9 @@ class Tracker:
             self._dev_chain = None
             saved = self.frame_idx
             self.frame_idx = pidx
+            if hybrid:
+                self._cur_pfeats = out.pfeats
+                self._cur_p_match = None
             r = self._track_frame_sync(out.feats, pts, stereo=True, relocalize=True)
             self.frame_idx = saved
             self._completed.append(r)
@@ -255,13 +358,17 @@ class Tracker:
     def _resolve_fused(self):
         if self._fuse_pending is None:
             return
-        fidx, fts, out, lids, lvalid = self._fuse_pending
+        fidx, fts, out, lids, lvalid, plids, plvalid = self._fuse_pending
         self._fuse_pending = None
         packed = np.asarray(out.packed)
         n_matches = int(packed[16])
         n_inliers = int(packed[17])
         self._n_depth_cache = int(packed[18])
         accepted = packed[19] > 0.5
+        hybrid = out.pfeats is not None
+        p_match = None
+        if hybrid:
+            p_match = (np.asarray(out.p_match_idx), np.asarray(out.p_inlier))
         made_kf = False
         if not accepted:
             # TrackReferenceKeyFrame fallback on the already-extracted feats
@@ -275,6 +382,9 @@ class Tracker:
                 accepted = True
                 lids = self._local_ids.copy()
                 lvalid = self._local_valid.copy()
+                # the fused point matches were gated around the failed
+                # motion-model pose — drop them (new points still created)
+                p_match = None
                 self._dev_chain = None  # chain no longer matches host pose
         if accepted:
             self.state = TrackingState.OK
@@ -293,6 +403,15 @@ class Tracker:
                     num_matched=n_matches,
                     num_inliers=n_inliers,
                 )
+                if hybrid:
+                    # KF creation binds points via _bind_point_landmarks,
+                    # which reads _cur_pfeats/_cur_p_match/_plocal_* — point
+                    # them at THIS frame's snapshot (2-frame result lag)
+                    self._cur_pfeats = out.pfeats
+                    self._cur_p_match = p_match
+                    if p_match is not None:
+                        self._plocal_ids = plids
+                        self._plocal_valid = plvalid
                 self._create_keyframe(out.feats, fts, fine, True, lids, lvalid)
                 made_kf = True
             self.frame_idx = saved
@@ -322,9 +441,7 @@ class Tracker:
                 pidx, pts, handle = up
                 (pair_dev,) = handle.get()
                 pair_h = np.asarray(pair_dev)
-                fl = extract_features(jnp.asarray(_img_f32(pair_h[0])), self.cfg.frontend)
-                fr = extract_features(jnp.asarray(_img_f32(pair_h[1])), self.cfg.frontend)
-                feats = stereo_line_depths(fl, fr, self._fxb, self.cfg.stereo)
+                feats = self._stereo_features(pair_h[0], pair_h[1])
                 saved = self.frame_idx
                 self.frame_idx = pidx
                 r = self._track_frame_sync(feats, pts, stereo=True, relocalize=True)

@@ -49,6 +49,24 @@ class DirectStereoParams(NamedTuple):
     max_cost: float = 28.0  # mean ZSAD gate (0..255 scale)
     near_horizontal_deg: float = 10.0
     irls_sigma: float = 0.6  # px: residual scale for the IRLS reweighting
+    # the image pair is at coord_scale x the coordinate frame of `endpoints`
+    # (host-prescaled half-res ingest: FrontendParams.prescaled). Input
+    # coordinates are multiplied by this before sampling; the returned
+    # disparity is divided by it (full-res px). Window/disp/rms params above
+    # are in IMAGE px.
+    coord_scale: float = 1.0
+
+
+def inject_coord_scale(p, base_scale: float, prescaled: bool):
+    """Adapt direct-stereo params to prescaled host ingest: the correlation
+    images arrive at base_scale while feature geometry stays full-res.
+    No-op if the config already set an explicit coord_scale."""
+    if prescaled and base_scale != 1.0 and p.coord_scale == 1.0:
+        return p._replace(
+            coord_scale=base_scale,
+            max_disp=max(8.0, round(p.max_disp * base_scale)),
+        )
+    return p
 
 
 def _moving_mean(win: jnp.ndarray, W: int) -> jnp.ndarray:
@@ -75,6 +93,8 @@ def direct_line_disparity_body(
     K = endpoints.shape[0]
     S, W = p.n_samples, p.window
     D = int(p.max_disp)
+    if p.coord_scale != 1.0:
+        endpoints = endpoints * p.coord_scale
     L = img_l * 255.0
     R = img_r * 255.0
 
@@ -181,12 +201,137 @@ def direct_line_disparity_body(
         & jnp.all(disp < p.max_disp, axis=-1)
         & steep
     ).astype(jnp.float32)
-    return disp, okf
+    return disp / p.coord_scale, okf
 
 
 @partial(jax.jit, static_argnums=(5,))
 def direct_line_disparity(img_l, img_r, endpoints, validf, angle, p: DirectStereoParams):
     return direct_line_disparity_body(img_l, img_r, endpoints, validf, angle, p)
+
+
+class DirectPointStereoParams(NamedTuple):
+    window: int = 12  # correlation window width (px along the row)
+    rows: int = 5  # vertical patch extent (a corner needs 2D support —
+    # a 1-row profile is ambiguous on vertical edges' antialiased ramps)
+    max_disp: float = 128.0
+    min_disp: float = 0.5
+    ratio: float = 0.8  # best/second-best uniqueness gate
+    min_contrast: float = 4.0  # patch stddev gate (0..255 scale)
+    max_cost: float = 25.0  # mean ZSAD gate (0..255 scale)
+    coord_scale: float = 1.0  # see DirectStereoParams.coord_scale
+
+
+def direct_point_disparity_body(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    uv: jnp.ndarray,
+    validf: jnp.ndarray,
+    p: DirectPointStereoParams,
+):
+    """Per-corner disparity by direct epipolar patch correlation.
+
+    The point analog of `direct_line_disparity_body`: one (rows x window)
+    zero-mean-SAD patch per corner, slid over the disparity range on the
+    same rows of the right image, integer argmin + quadratic subpixel.
+    img_l/img_r: (H, W) f32 in [0, 1], rectified. uv: (K, 2) px.
+    Returns (disp (K,), okf (K,) f32).
+    """
+    H, W_img = img_l.shape
+    K = uv.shape[0]
+    W, RW = p.window, p.rows
+    D = int(p.max_disp)
+    if p.coord_scale != 1.0:
+        uv = uv * p.coord_scale
+    L = img_l * 255.0
+    R = img_r * 255.0
+
+    xi = jnp.round(uv[:, 0]).astype(jnp.int32)
+    yi0 = jnp.round(uv[:, 1]).astype(jnp.int32)
+    roff = jnp.arange(-(RW // 2), RW - RW // 2)
+    yi = jnp.clip(yi0[:, None] + roff, 0, H - 1)  # (K, RW)
+
+    woff = jnp.arange(-(W // 2), W - W // 2)
+    colL = xi[:, None] + woff  # (K, W)
+    l_inb = (colL >= 0) & (colL < W_img)
+    colLc = jnp.clip(colL, 0, W_img - 1)
+    profL = L.reshape(-1)[yi[:, :, None] * W_img + colLc[:, None, :]]  # (K, RW, W)
+
+    span = D - 1 + W
+    colR0 = xi - (D - 1) - W // 2
+    colR = colR0[:, None] + jnp.arange(span)  # (K, span)
+    r_inb = (colR >= 0) & (colR < W_img)
+    colRc = jnp.clip(colR, 0, W_img - 1)
+    winR = R.reshape(-1)[yi[:, :, None] * W_img + colRc[:, None, :]]  # (K, RW, span)
+
+    # zero-mean SAD: per-patch means over the full (RW x W) patch
+    mR = jnp.mean(_moving_mean(winR, W), axis=1, keepdims=True)  # (K, 1, D)
+    mL = jnp.mean(profL, axis=(1, 2))[:, None, None]  # (K, 1, 1)
+    cost_j = jnp.zeros((K, 1, D))
+    for w in range(W):
+        cost_j = cost_j + jnp.sum(
+            jnp.abs((winR[:, :, w : w + D] - mR) - (profL[:, :, w : w + 1] - mL)),
+            axis=1,
+            keepdims=True,
+        )
+    cost_j = cost_j[:, 0, :] / float(W * RW)
+    # per-corner in-bounds penalty over the sliding windows
+    okR_j = _moving_mean(r_inb.astype(jnp.float32), W)  # (K, D)
+    cost_j = cost_j + (1.0 - (okR_j > 0.999).astype(jnp.float32)) * 1e6
+    cost = jnp.flip(cost_j, axis=-1)  # (K, D) indexed by disparity d
+
+    dgrid = jnp.arange(D)
+    best = jnp.argmin(cost, axis=-1)  # (K,)
+    cbest = jnp.min(cost, axis=-1)
+    near = (jnp.abs(dgrid[None, :] - best[:, None]) <= 2).astype(jnp.float32)
+    c2 = jnp.min(cost + near * 1e6, axis=-1)
+    uniq = cbest < p.ratio * c2
+
+    bm1 = jnp.clip(best - 1, 0, D - 1)
+    bp1 = jnp.clip(best + 1, 0, D - 1)
+    cm1 = jnp.take_along_axis(cost, bm1[:, None], -1)[:, 0]
+    cp1 = jnp.take_along_axis(cost, bp1[:, None], -1)[:, 0]
+    denom = jnp.maximum(cm1 - 2.0 * cbest + cp1, 1e-6)
+    sub = jnp.clip(0.5 * (cm1 - cp1) / denom, -1.0, 1.0)
+    disp = best.astype(jnp.float32) + sub
+
+    contrast = jnp.std(profL, axis=(1, 2))
+    okf = (
+        (validf > 0.5)
+        & uniq
+        & (cbest < p.max_cost)
+        & (contrast > p.min_contrast)
+        & jnp.all(l_inb, axis=-1)
+        & (disp > p.min_disp)
+        & (disp < p.max_disp - 1.0)
+        & (uv[:, 1] >= 0.0)
+        & (uv[:, 1] <= H - 1.0)
+    ).astype(jnp.float32)
+    return disp / p.coord_scale, okf
+
+
+@partial(jax.jit, static_argnums=(4,))
+def direct_point_disparity(img_l, img_r, uv, validf, p: DirectPointStereoParams):
+    return direct_point_disparity_body(img_l, img_r, uv, validf, p)
+
+
+def direct_stereo_point_depths(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    pfeats,
+    fx_baseline,
+    p: DirectPointStereoParams = DirectPointStereoParams(),
+):
+    """PointFeatures variant of `stereo_point_depths`: corner depths from
+    the right IMAGE (no right-camera FAST/BRIEF)."""
+    disp, okf = direct_point_disparity(
+        jnp.asarray(img_l, jnp.float32),
+        jnp.asarray(img_r, jnp.float32),
+        pfeats.uv,
+        pfeats.valid,
+        p,
+    )
+    depth = okf * jnp.asarray(fx_baseline, jnp.float32) / jnp.maximum(disp, 1e-6)
+    return pfeats._replace(depth=depth, has_depth=okf)
 
 
 def direct_stereo_depths(

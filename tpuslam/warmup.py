@@ -22,15 +22,17 @@ import jax
 import jax.numpy as jnp
 
 
-def __fused_frame_warm(cam, fe, sp, sc, sf, oc, NL, rng, dtype):
+def __fused_frame_warm(cam, fe, sp, sc, sf, oc, NL, rng, dtype, sd=None):
     import jax.numpy as jnp
 
+    from tpuslam.frontend.frame import prescaled_shape
     from tpuslam.frontend.pipeline import fused_stereo_frame
 
+    H, W = prescaled_shape(cam.height, cam.width, fe)
     if dtype == np.uint8:
-        pair = (rng.random((2, cam.height, cam.width)) * 255).astype(np.uint8)
+        pair = (rng.random((2, H, W)) * 255).astype(np.uint8)
     else:
-        pair = rng.random((2, cam.height, cam.width)).astype(np.float32)
+        pair = rng.random((2, H, W)).astype(np.float32)
     T = jnp.eye(4, dtype=jnp.float32)
     local = dict(
         plucker=jnp.asarray(rng.standard_normal((NL, 6)), jnp.float32),
@@ -40,8 +42,22 @@ def __fused_frame_warm(cam, fe, sp, sc, sf, oc, NL, rng, dtype):
     )
     return fused_stereo_frame(
         jnp.asarray(pair), T, T, local, cam.fx * cam.baseline,
-        cam, fe, sp, sc, sf, oc, 8,
+        cam, fe, sp, sc, sf, oc, 8, sd=sd,
     ).packed
+
+
+def __direct_stereo_warm(cam, fe, sd, rng):
+    from tpuslam.frontend.frame import prescaled_shape
+    from tpuslam.kernels.stereo_direct import direct_line_disparity
+
+    K = fe.max_lines
+    H, W = prescaled_shape(cam.height, cam.width, fe)
+    img = jnp.asarray(rng.random((H, W)), jnp.float32)
+    ep = jnp.asarray(rng.uniform(10, cam.height - 10, (K, 2, 2)), jnp.float32)
+    return direct_line_disparity(
+        img, img, ep, jnp.ones(K, jnp.float32),
+        jnp.full((K,), 1.2, jnp.float32), sd,
+    )
 
 
 def warmup_tracking(
@@ -51,6 +67,7 @@ def warmup_tracking(
     search_params=(None, None),
     pose_opt_cfg=None,
     local_capacity: int = 1024,
+    direct_stereo=None,
     with_mapping: bool = True,
     ba_caps=((8, 128, 512), (16, 256, 1024), (16, 512, 2048), (24, 512, 2048)),
     log: Optional[Callable[[str], None]] = None,
@@ -64,6 +81,7 @@ def warmup_tracking(
         _stereo_depth_post,
         _stereo_gate_penalty,
         extract_features,
+        prescaled_shape,
         stereo_line_depths,
     )
     from tpuslam.frontend.matcher import (
@@ -85,6 +103,13 @@ def warmup_tracking(
     rng = np.random.default_rng(0)
     K = fe.max_lines
     NL = local_capacity
+    Hs, Ws = prescaled_shape(cam.height, cam.width, fe)
+    if direct_stereo is not None:
+        # mirror the Tracker's dispatch-time param injection so the warmed
+        # program IS the production program (static params must match)
+        from tpuslam.kernels.stereo_direct import inject_coord_scale
+
+        direct_stereo = inject_coord_scale(direct_stereo, fe.base_scale, fe.prescaled)
 
     def feat():
         return FrameFeatures(
@@ -135,11 +160,20 @@ def warmup_tracking(
             fl.midpoint, fl.angle, fl.desc_bits, fl.valid, fl.endpoints, fl.sigma,
             fl.has_depth, cam, sf, oc)),
         ("extract", lambda: extract_features(
-            jnp.asarray(rng.random((cam.height, cam.width)), jnp.float32), fe)),
+            jnp.asarray(rng.random((Hs, Ws)), jnp.float32), fe)),
+        # sync-path direct stereo (used at init / relocalization frames)
+        *(
+            [(
+                "direct_stereo",
+                lambda: __direct_stereo_warm(cam, fe, direct_stereo, rng),
+            )]
+            if direct_stereo is not None
+            else []
+        ),
         # the fused whole-frame program (frontend/pipeline.py) — u8 ingest,
         # the production path for pipelined stereo tracking
         ("fused_frame_u8", lambda: __fused_frame_warm(
-            cam, fe, sp, sc, sf, oc, NL, rng, np.uint8)),
+            cam, fe, sp, sc, sf, oc, NL, rng, np.uint8, sd=direct_stereo)),
     ]
     if with_mapping:
         from tpuslam.backend.lm import LMConfig
