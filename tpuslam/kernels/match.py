@@ -176,6 +176,23 @@ def midpoint_radius_penalty(
     return jnp.maximum(d2 - radius * radius, 0.0) * 1e3
 
 
+@jax.jit
+def epipolar_penalty(
+    uv_a: jnp.ndarray, uv_b: jnp.ndarray, F: jnp.ndarray, tol_px: jnp.ndarray
+) -> jnp.ndarray:
+    """(KA, 2), (KB, 2) pixel coords, F (3, 3) fundamental (A -> B lines):
+    (KA, KB) f32 additive penalty, 0 iff uv_b lies within tol_px of the
+    epipolar line l = F [uv_a; 1]. Two-view point-triangulation gate
+    (SURVEY §4.3 SearchForTriangulation, point analog). Separately jitted
+    per the repo's gate-builder rule (see match_descriptors docstring)."""
+    ah = jnp.concatenate([uv_a, jnp.ones((uv_a.shape[0], 1), jnp.float32)], -1)
+    l = ah @ F.T.astype(jnp.float32)  # (KA, 3) epipolar lines in image B
+    den = jnp.maximum(jnp.sqrt(l[:, 0] ** 2 + l[:, 1] ** 2), 1e-9)
+    bh = jnp.concatenate([uv_b, jnp.ones((uv_b.shape[0], 1), jnp.float32)], -1)
+    d = jnp.abs(l @ bh.T) / den[:, None]
+    return jnp.maximum(d - tol_px, 0.0) * _PEN
+
+
 def stereo_row_penalty(
     mid_a: jnp.ndarray,
     mid_b: jnp.ndarray,

@@ -108,7 +108,11 @@ class System:
             self.mapper.on_map_changed = self.tracker.invalidate_local_map
         from tpuslam.backend.loop_closing import KeyFrameDatabase
 
-        self.kf_db = KeyFrameDatabase()
+        # hybrid front-end: place recognition scores corners too (the DB
+        # row then carries line LBD + point BRIEF descriptors)
+        self.kf_db = KeyFrameDatabase(
+            point_slots=tcfg.points.max_points if tcfg.points is not None else 0
+        )
         self.tracker.kf_db = self.kf_db  # relocalization path
         self.map.on_keyframe_erased = self.kf_db.remove  # culled KFs leave the DB
         if loop_closing:

@@ -199,3 +199,66 @@ def warmup_tracking(
         t0 = time.time()
         jax.block_until_ready(thunk())
         log(f"warmup {name}: {time.time() - t0:.1f}s")
+
+
+def warm_loop_programs(
+    cam,
+    mono: bool = False,
+    refine_cap: int = 256,
+    graph_P: int = 16,
+    graph_E: int = 64,
+    log: Optional[Callable[[str], None]] = None,
+):
+    """Compile the loop-closure event programs ahead of the first closure
+    (VERDICT r2 item 3: no steady-state in-run compiles): the bucketed
+    essential-graph solve (SE(3) or Sim(3)) and the post-RANSAC pose-LM
+    refinement at its fixed `refine_cap` shapes."""
+    from tpuslam.backend.pose_graph import (
+        PoseGraphConfig,
+        PoseGraphProblem,
+        Sim3GraphProblem,
+        optimize_pose_graph,
+        optimize_pose_graph_sim3,
+    )
+    from tpuslam.backend.loop_closing import _refine_pose_jit
+    from tpuslam.backend.pose_opt import PoseOptConfig
+
+    log = log or (lambda m: None)
+    rng = np.random.default_rng(0)
+    eye = jnp.tile(jnp.eye(4, dtype=jnp.float32), (graph_P, 1, 1))
+    free = jnp.ones(graph_P, jnp.float32).at[0].set(0.0)
+    e_i = jnp.asarray(rng.integers(0, graph_P, graph_E), jnp.int32)
+    e_j = jnp.asarray((np.asarray(e_i) + 1) % graph_P, jnp.int32)
+    meas = jnp.tile(jnp.eye(4, dtype=jnp.float32), (graph_E, 1, 1))
+    ones = jnp.ones(graph_E, jnp.float32)
+    t0 = time.time()
+    if mono:
+        prob = Sim3GraphProblem(
+            sims=eye, pose_free=free, e_i=e_i, e_j=e_j,
+            e_meas=meas, e_valid=ones, e_weight=ones,
+        )
+        jax.block_until_ready(optimize_pose_graph_sim3(prob, PoseGraphConfig()))
+    else:
+        prob = PoseGraphProblem(
+            poses=eye, pose_free=free, e_i=e_i, e_j=e_j,
+            e_meas=meas, e_valid=ones, e_weight=ones,
+        )
+        jax.block_until_ready(optimize_pose_graph(prob, PoseGraphConfig()))
+    log(f"warmup pose_graph({graph_P},{graph_E}): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    C = refine_cap
+    jax.block_until_ready(
+        _refine_pose_jit(
+            jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(rng.standard_normal((C, 6)), jnp.float32),
+            jnp.asarray(rng.uniform(0, cam.height, (C, 2, 2)), jnp.float32),
+            jnp.ones(C, jnp.float32),
+            jnp.asarray(rng.standard_normal((C, 3)) + [0, 0, 6.0], jnp.float32),
+            jnp.asarray(rng.uniform(0, cam.height, (C, 2)), jnp.float32),
+            jnp.ones(C, jnp.float32),
+            jnp.ones(C, jnp.float32),
+            cam,
+            PoseOptConfig(),
+        ).pose
+    )
+    log(f"warmup loop_refine({C}): {time.time() - t0:.1f}s")
