@@ -46,6 +46,15 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
 
     if platform:  # tests run on CPU; the env var alone does not stick
         jax.config.update("jax_platforms", platform)
+    cache_dir = os.environ.get(
+        "TPUSLAM_BA_CACHE_DIR", "/tmp/tpuslam_ba_cache"
+    )
+    if cache_dir:  # persistent executable cache: bucket compiles are paid
+        try:  # once per MACHINE, not once per worker incarnation
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # older jax without the knob: compile as before
 
     import tpuslam  # noqa: F401  (matmul precision)
     from tpuslam.backend.lm import BAProblem, LMConfig
@@ -54,6 +63,13 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
 
     cam = Intrinsics(*cam_tuple)
     ba_cfg = LocalBAConfig()
+    seen = set()  # bucket shapes this incarnation has compiled
+
+    def _bucket_key(prob_arrays, lm_cfg):
+        return (
+            tuple((f, np.shape(v)) for f, v in sorted(prob_arrays.items())),
+            repr(lm_cfg),
+        )
 
     # ready IMMEDIATELY: warmup happens lazily between requests, so the
     # parent's first solve never waits for the full bucket ladder — a solve
@@ -74,9 +90,17 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
         P_, L_, OL_ = warm_queue.pop(0)
         rng = np.random.default_rng(0)
         prob = _toy_problem(rng, P_=P_, L=L_, OL=OL_, cam=cam)
+        key = _bucket_key(
+            {f: np.asarray(getattr(prob, f)) for f in prob._fields},
+            LMConfig(max_iters=8),
+        )
+        if key in seen:  # a real solve already compiled this bucket
+            conn.send(("warmed", -1, (P_, L_, OL_)))
+            return
         state = _run_lm_jit(prob, cam, LMConfig(max_iters=8))
         _chi2_jit(state, prob, cam, ba_cfg.chi2_line, ba_cfg.chi2_point)
         np.asarray(state.cost)  # drain
+        seen.add(key)
         # one "warmed" per bucket: clients can wait for just the first
         # (smallest, most-used) bucket instead of the full ladder — the big
         # buckets take minutes each on a bad compile-lottery day
@@ -97,6 +121,8 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
             continue
         prob_arrays, lm_cfg, chi2_line, chi2_point = payload
         try:
+            key = _bucket_key(prob_arrays, lm_cfg)
+            was_warm = key in seen
             t0 = time.perf_counter()
             prob = BAProblem(**prob_arrays)
             state = _run_lm_jit(prob, cam, lm_cfg)
@@ -109,9 +135,11 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
                 inl_l=np.asarray(inl_l),
                 inl_p=np.asarray(inl_p),
             )
-            # wall time incl. host sync; first solve per bucket includes the
-            # compile — callers take medians over warm solves
+            seen.add(key)
+            # wall time incl. host sync; `warm` tells callers whether this
+            # solve paid a bucket compile — timing stats use warm-only rows
             res["solve_ms"] = (time.perf_counter() - t0) * 1e3
+            res["warm"] = was_warm
             conn.send(("ok", req_id, res))
         except Exception as e:  # surface to the parent
             conn.send(("err", req_id, repr(e)))

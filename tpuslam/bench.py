@@ -162,6 +162,11 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         mp_ = sys_.mapper
         if mp_.solve_ms:
             out["local_ba_ms"] = float(np.median(mp_.solve_ms))
+        elif mp_.cold_solve_ms:
+            # every solve this run paid a first-touch bucket compile; report
+            # the least-polluted one rather than 0/absent, and say so
+            out["local_ba_ms"] = float(np.min(mp_.cold_solve_ms))
+            out["local_ba_cold"] = True
         out["ba_submitted"] = mp_.ba_submitted
         out["ba_skipped"] = mp_.ba_skipped
         out["ba_stale"] = mp_.ba_stale
