@@ -113,12 +113,20 @@ def _use_pallas_ccl(params: LSDParams) -> bool:
         return True
     if params.ccl == "xla":
         return False
-    # 'auto' currently means XLA everywhere. The strip-tiled Pallas kernel
-    # (pallas_ccl.py) fits VMEM and is parity-exact on chip, but measures
-    # 2.3x SLOWER than the XLA scan at VGA: the propagation loop is
-    # compute/copy-bound (64 rounds cost ~1.5 ms total in XLA), so VMEM
-    # residency buys nothing and the halo redundancy costs its full factor.
-    # Kept for larger-R configs where the arithmetic flips.
+    # 'auto' = XLA everywhere — FINAL measured verdict (benchmarks/
+    # probe_ccl.py on the chip, 2026-08-17, parity OK at every size):
+    #   half-VGA 320x240:  XLA 3.70 ms  vs Pallas  8.24 ms  (Pallas 2.2x slower)
+    #   VGA 640x480:       XLA 11.63 ms vs Pallas 32.20 ms  (Pallas 2.8x slower)
+    #   KITTI 1248x376:    XLA 23.86 ms vs Pallas 51.23 ms (strip=48 to fit
+    #                      the 16 MB scoped-VMEM limit; deeper halo redundancy)
+    # Why: the propagation loop is copy/compute-bound with a tiny working
+    # set per round; XLA's fused scan already keeps it on-chip, while the
+    # strip kernel re-reads a 2R-row halo per strip (R=64 -> 128 halo rows
+    # vs 96 payload rows, >2x redundant work — worse at smaller strips).
+    # The regime where strip-residency could win (R large enough that halo
+    # amortizes, image too big for XLA fusion) does not occur at any
+    # production resolution. The kernel stays parity-tested
+    # (tests/test_pallas.py) as the documented reference implementation.
     return False
 
 

@@ -90,11 +90,16 @@ def ccl_propagate_pallas(
     compat_bits: jnp.ndarray,  # (H, W) i32, bit d = neighbor d compatible
     rounds: int,
     interpret: bool | None = None,
-    strip: int = 96,
+    strip: int | None = None,
 ):
     H, W = labels.shape
     R = rounds
     big = H * W
+    if strip is None:
+        # block VMEM ~ (strip + 2R) * W * 4 B * ~12 live arrays; at KITTI
+        # width (1241+) strip=96 blows the 16 MB scoped-vmem limit (measured
+        # 17.5 MB) — shrink the strip, the 2R halo dominates anyway
+        strip = 96 if W <= 1024 else 48
     if interpret is None:
         interpret = jax.default_backend() in ("cpu",)
     n = -(-H // strip)
