@@ -105,6 +105,70 @@ class TestMultiSequenceTracking:
             d = np.linalg.norm(np.linalg.inv(est)[:3, 3] - np.linalg.inv(gt)[:3, 3])
             assert d < 0.08, (s, d)
 
+    def test_mixed_camera_batched_sequences(self, rng):
+        """Per-sequence calibrations batch through ONE dispatch (BASELINE
+        config #5: the 8 EuRoC sequences carry different calibrations; the
+        round-2 `same_cam` gate silently serialized them — VERDICT r2
+        item 9). Intrinsics vmaps as a pytree of (N,) leaves."""
+        from tpuslam.backend.mapping import LocalMapper, MapperConfig
+        from tpuslam.frontend.tracking import TrackingState
+        from tpuslam.io.synthetic import make_wireframe_scene, synthetic_frame_features
+        from tpuslam.parallel.multi_seq import MultiTracker
+        from tpuslam.parallel import multi_seq as ms
+
+        N, F = 3, 8
+        cams = [
+            Intrinsics(
+                fx=458.0 + 14.0 * s, fy=457.0 - 11.0 * s,
+                cx=320.0 + 6.0 * s, cy=240.0 - 5.0 * s,
+                width=640, height=480, baseline=0.11 + 0.015 * s,
+            )
+            for s in range(N)
+        ]
+        scenes = [
+            make_wireframe_scene(
+                np.random.default_rng(200 + s), n_segments=120, n_frames=F,
+                cam=cams[s], motion_scale=0.02,
+            )
+            for s in range(N)
+        ]
+        mt = MultiTracker(cams)
+        for s, tr in enumerate(mt.trackers):
+            m = LocalMapper(tr.map, cams[s], MapperConfig())
+            tr.on_new_keyframe = m.process
+            m.on_map_changed = tr.invalidate_local_map
+
+        calls = {"batched": 0}
+        real = ms.batched_track_step
+
+        def counting(*a, **k):
+            calls["batched"] += 1
+            return real(*a, **k)
+
+        ms.batched_track_step = counting
+        try:
+            for f in range(F):
+                per_seq = [
+                    synthetic_frame_features(
+                        scenes[s], f, noise_px=0.3,
+                        rng=np.random.default_rng(f * 37 + s), with_depth=True,
+                    )[0]
+                    for s in range(N)
+                ]
+                feats = jax.tree.map(lambda *xs: jnp.stack(xs), *per_seq)
+                results = mt.track_features(feats, [f * 0.05] * N)
+                if f > 0:
+                    assert all(r.state == TrackingState.OK for r in results)
+        finally:
+            ms.batched_track_step = real
+        assert calls["batched"] == F - 1, calls  # one dispatch per steady frame
+        for s, tr in enumerate(mt.trackers):
+            d = np.linalg.norm(
+                np.linalg.inv(tr.T_cw)[:3, 3]
+                - np.linalg.inv(scenes[s].poses[F - 1])[:3, 3]
+            )
+            assert d < 0.08, (s, d)
+
     def test_batched_extract_matches_single(self, rng):
         """vmapped extraction == per-image extraction (rendered frames)."""
         from tpuslam.frontend.frame import FrontendParams, extract_features

@@ -54,7 +54,22 @@ def batched_stereo(left: FrameFeatures, right: FrameFeatures, fxb: jnp.ndarray, 
     return jax.vmap(one)(left, right, fxb)
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def cam_batch(cams: Sequence[Intrinsics]) -> Intrinsics:
+    """Lift N Intrinsics to one pytree with (N,) array leaves.
+
+    `Intrinsics` is a NamedTuple of scalars — a pytree — so per-sequence
+    calibrations vmap like any other data (BASELINE config #5's sequences
+    have per-sequence calibrations; the round-2 batched step required
+    identical cameras and silently fell back to the serial path otherwise)."""
+    return Intrinsics(
+        *[
+            jnp.asarray([float(getattr(c, f)) for c in cams], jnp.float32)
+            for f in Intrinsics._fields
+        ]
+    )
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9))
 def batched_track_step(
     T_pred: jnp.ndarray,  # (N, 4, 4)
     map_plucker: jnp.ndarray,  # (N, L, 6)
@@ -62,7 +77,7 @@ def batched_track_step(
     map_bits: jnp.ndarray,  # (N, L, W)
     map_validf: jnp.ndarray,  # (N, L)
     feats: FrameFeatures,  # batched
-    cam: Intrinsics,
+    cams: Intrinsics,  # (N,)-leaf pytree from cam_batch (traced: per-sequence)
     search: ProjectionSearchParams,
     search_fine: Optional[ProjectionSearchParams] = None,
     opt: PoseOptConfig = PoseOptConfig(),
@@ -76,7 +91,7 @@ def batched_track_step(
     into Tracker._resolve_pending."""
     from tpuslam.frontend.matcher import _fused_track
 
-    def one(T, lines, ep3d, bits, validf, f):
+    def one(T, lines, ep3d, bits, validf, f, cam):
         out = _fused_track.__wrapped__(
             T, lines, ep3d, bits, validf,
             f.midpoint, f.angle, f.desc_bits, f.valid, f.endpoints,
@@ -90,7 +105,9 @@ def batched_track_step(
             )
         return out
 
-    return jax.vmap(one)(T_pred, map_plucker, map_ep3d, map_bits, map_validf, feats)
+    return jax.vmap(one)(
+        T_pred, map_plucker, map_ep3d, map_bits, map_validf, feats, cams
+    )
 
 
 class MultiTracker:
@@ -111,6 +128,7 @@ class MultiTracker:
         self.mesh = mesh
         self.trackers: List[Tracker] = [Tracker(c, SlamMap(), cfg) for c in cams]
         self._fxb = jnp.asarray([c.fx * c.baseline for c in cams], jnp.float32)
+        self._cam_b = cam_batch(self.cams)  # per-sequence calibrations
         self._sharding = NamedSharding(mesh, P("seq")) if mesh is not None else None
 
     def _put(self, x):
@@ -127,20 +145,21 @@ class MultiTracker:
         """Track one batched-feature frame per sequence (leading axis N).
 
         All sequences in steady-state tracking are solved by ONE batched
-        coarse+fine dispatch (`batched_track_step`); host keyframe policy and
-        map bookkeeping stay per-sequence via Tracker._resolve_pending.
-        Sequences that are initializing or LOST fall back to their own
-        single-sequence path (they need host-driven init/relocalization)."""
+        coarse+fine dispatch (`batched_track_step`) — per-sequence
+        calibrations included (vmapped `Intrinsics` pytree, `cam_batch`).
+        Host keyframe policy and map bookkeeping stay per-sequence via
+        Tracker._resolve_pending. Sequences that are initializing or LOST
+        fall back to their own single-sequence path (they need host-driven
+        init/relocalization)."""
         from tpuslam.frontend.matcher import TrackStepResult
         from tpuslam.frontend.tracking import TrackingState
 
         N = len(self.trackers)
         results: List = [None] * N
-        same_cam = len(set(self.cams)) == 1
         steady = [
             i
             for i, tr in enumerate(self.trackers)
-            if same_cam and tr.state == TrackingState.OK and tr.last_T_cw is not None
+            if tr.state == TrackingState.OK and tr.last_T_cw is not None
         ]
         for tr in self.trackers:
             tr.frame_idx += 1
@@ -166,7 +185,7 @@ class MultiTracker:
                 stackk("bits"),
                 stackk("valid"),
                 feats,
-                self.cams[0],
+                self._cam_b,
                 self.cfg.search_coarse,
                 self.cfg.search_fine,
                 self.cfg.pose_opt,
