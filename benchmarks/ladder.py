@@ -1,0 +1,192 @@
+"""Fill the BASELINE.md ladder rows that bench.py's headline run does not
+cover (VERDICT r2 item 6): config #1/#2 analogs, mono hybrid, mono Sim(3)
+loop. Synthetic analogs of the BASELINE.json configs (no datasets exist in
+this env — BASELINE.md 'Status'), measured end-to-end through the public
+System API on whatever backend runs this script (the chip in production).
+
+Prints one JSON line per row; paste-ready markdown at the end.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import tpuslam  # noqa: F401  (matmul precision)
+from tpuslam.eval.ate import absolute_trajectory_error
+from tpuslam.frontend.points import PointFrontendParams
+from tpuslam.frontend.tracking import TrackerConfig, TrackingState
+from tpuslam.geometry.camera import Intrinsics
+from tpuslam.io.synthetic import (
+    make_loop_scene,
+    make_wireframe_scene,
+    render_wireframe_image,
+)
+from tpuslam.system import System
+
+CAM = Intrinsics(fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240, baseline=0.1)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def _render_mono(rng, scene, n):
+    return [
+        render_wireframe_image(scene, f, noise=1.0, rng=rng, draw_points=True)
+        for f in range(n)
+    ]
+
+
+def _mono_scene(rng, n, n_segments=60, n_points=120, step=0.06):
+    scene = make_wireframe_scene(
+        rng, n_segments=n_segments, n_points=n_points, n_frames=2, cam=CAM
+    )
+    poses = []
+    for f in range(n):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -f * step
+        T[1, 3] = 0.02 * np.sin(f * 0.5)
+        poses.append(T)
+    return scene._replace(poses=np.stack(poses))
+
+
+def config1_frame_pair():
+    """Config #1 analog: one frame pair -> extract + LBD + match + 2-view
+    pose (the mono bootstrap IS the 2-view solve)."""
+    from tpuslam.frontend.frame import FrontendParams, extract_features
+    from tpuslam.frontend.initializer import MonoInitializer, MonoInitParams
+
+    rng = np.random.default_rng(3)
+    scene = _mono_scene(rng, 10, n_segments=90)
+    frames = _render_mono(rng, scene, 10)
+    fe = FrontendParams()
+    f0 = extract_features(jnp.asarray(frames[0].astype(np.float32) / 255.0), fe)
+    np.asarray(f0.valid)  # compile + drain
+    t0 = time.perf_counter()
+    for k in range(1, 9):
+        fk = extract_features(jnp.asarray(frames[k].astype(np.float32) / 255.0), fe)
+        np.asarray(fk.valid)
+    extract_ms = (time.perf_counter() - t0) / 8 * 1e3
+    init = MonoInitializer(CAM, MonoInitParams(min_parallax_px=8.0))
+    init.try_initialize(f0, 0.0, 0)
+    out = None
+    for k in range(1, 10):
+        fk = extract_features(jnp.asarray(frames[k].astype(np.float32) / 255.0), fe)
+        out = init.try_initialize(fk, k * 0.05, k)
+        if out is not None:
+            break
+    ok = out is not None
+    t_err = None
+    if ok:
+        T1 = out[3]
+        t = T1[:3, 3] / max(np.linalg.norm(T1[:3, 3]), 1e-9)
+        gt = scene.poses[k][:3, 3]
+        gt = gt / max(np.linalg.norm(gt), 1e-9)
+        t_err = float(1.0 - abs(float(np.dot(t, gt))))
+        n_lines = int(out[6].sum())
+    return dict(
+        row="config1_frame_pair",
+        extract_ms=round(extract_ms, 2),
+        two_view_ok=ok,
+        translation_dir_err=round(t_err, 4) if t_err is not None else None,
+        n_triangulated=n_lines if ok else 0,
+    )
+
+
+def mono_sequence(points: bool, n=30):
+    """Config #2 analog: full mono tracking loop (+ hybrid variant)."""
+    rng = np.random.default_rng(11)
+    scene = _mono_scene(rng, n)
+    frames = _render_mono(rng, scene, n)
+    cfg = TrackerConfig(
+        min_init_lines=8, min_track_matches=6, min_track_inliers=6,
+        max_frames_between_kf=4,
+        points=PointFrontendParams() if points else None,
+    )
+    sys_ = System(CAM, sensor="mono", loop_closing=False, mapping=True, tracker_cfg=cfg)
+    times = []
+    for f, img in enumerate(frames):
+        t0 = time.perf_counter()
+        sys_.track_monocular(img, f * 0.05)
+        times.append(time.perf_counter() - t0)
+    sys_.shutdown()
+    traj = sys_.trajectory
+    okf = [r for r in traj if r.state == TrackingState.OK]
+    ate = None
+    if len(okf) >= 5:
+        est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in okf])
+        gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in okf])
+        ate = float(absolute_trajectory_error(est, gt, with_scale=True).rmse)
+    med = float(np.median(times[5:]))
+    return dict(
+        row="config2_mono_hybrid" if points else "config2_mono",
+        frames=n,
+        ok_frames=len(okf),
+        ate_rmse_sim3=round(ate, 4) if ate is not None else None,
+        fps_median=round(1.0 / med, 2),
+        keyframes=len(sys_.map.keyframes),
+        points=len(sys_.map.points.live_ids()) if points else 0,
+        lines=len(sys_.map.lines.live_ids()),
+    )
+
+
+def mono_loop(n=80):
+    """Mono Sim(3) loop row: circular revisit, loop closing ON."""
+    rng = np.random.default_rng(7)
+    scene = make_loop_scene(rng, n_segments=260, n_frames=n, radius=5.0, room=14.0, cam=CAM)
+    frames = [
+        render_wireframe_image(scene, f, noise=1.0, rng=rng, draw_points=True)
+        for f in range(n)
+    ]
+    cfg = TrackerConfig(
+        min_init_lines=8, min_track_matches=6, min_track_inliers=6,
+        max_frames_between_kf=4, points=PointFrontendParams(),
+    )
+    sys_ = System(CAM, sensor="mono", loop_closing=True, mapping=True, tracker_cfg=cfg)
+    for f, img in enumerate(frames):
+        sys_.track_monocular(img, f * 0.05)
+    sys_.shutdown()
+    traj = sys_.trajectory
+    okf = [r for r in traj if r.state == TrackingState.OK]
+    ate = None
+    if len(okf) >= 5:
+        est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in okf])
+        gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in okf])
+        ate = float(absolute_trajectory_error(est, gt, with_scale=True).rmse)
+    lc = sys_.loop_closer
+    return dict(
+        row="mono_sim3_loop",
+        frames=n,
+        ok_frames=len(okf),
+        ate_rmse_sim3=round(ate, 4) if ate is not None else None,
+        loops_closed=len(lc.closed_loops) if lc else 0,
+        gba_skipped=lc.gba_skipped if lc else -1,
+        keyframes=len(sys_.map.keyframes),
+    )
+
+
+def main():
+    print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
+    rows = []
+    for fn in (
+        config1_frame_pair,
+        lambda: mono_sequence(points=False),
+        lambda: mono_sequence(points=True),
+        mono_loop,
+    ):
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+        except Exception as e:  # a failed row must not kill the others
+            r = dict(row=getattr(fn, "__name__", "lambda"), error=repr(e)[:300])
+        r["wall_s"] = round(time.perf_counter() - t0, 1)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
