@@ -21,6 +21,26 @@ import jax as _jax
 # MXU passes are negligible at SLAM's matrix sizes.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent XLA executable cache: the big fused-frame program costs tens of
+# seconds to minutes of REMOTE compile per process on the axon tunnel
+# (compile-service latency lottery, PERF_NOTES.md); a cache hit loads in
+# seconds (measured 26.7 s -> 6.4 s full first-run, benchmarks/probe_cache.py)
+# and never touches the compile service — which also removes the lottery's
+# process-degradation risk. Respect an explicit user setting; opt out with
+# TPUSLAM_COMPILE_CACHE="".
+import os as _os
+
+_cache = _os.environ.get("TPUSLAM_COMPILE_CACHE", "/tmp/tpuslam_cache")
+if _cache and not (
+    _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    or _jax.config.jax_compilation_cache_dir
+):
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs
+        pass
+
 from tpuslam.geometry.camera import Intrinsics  # noqa: E402
 
 

@@ -11,8 +11,10 @@ compile/executable set small and healthy:
 
 - parent does ALL map bookkeeping (window assembly, write-back, pruning) —
   mapping semantics stay synchronous and deterministic, tests unchanged;
-- the worker owns the LM+Schur + chi2 programs, compiled once at spawn
-  (warmup happens in the background while the parent warms tracking);
+- the worker owns the LM+Schur + chi2 programs, compiled on demand against
+  a persistent on-disk executable cache; a separate THROWAWAY warmer
+  process pre-compiles the bucket ladder into that cache in parallel, so a
+  warm compile never queues a real solve behind it;
 - the RPC moves ~1-2 MB of padded problem arrays per keyframe over a pipe
   (host<->host, no chip round trip) — noise next to the solve itself.
 
@@ -40,21 +42,63 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def _worker_main(conn, warm_caps, cam_tuple, platform):
-    # child process: own jax runtime, own compiled programs
-    import jax
-
-    if platform:  # tests run on CPU; the env var alone does not stick
-        jax.config.update("jax_platforms", platform)
-    cache_dir = os.environ.get(
-        "TPUSLAM_BA_CACHE_DIR", "/tmp/tpuslam_ba_cache"
-    )
+def _enable_persistent_cache(jax):
+    cache_dir = os.environ.get("TPUSLAM_BA_CACHE_DIR", "/tmp/tpuslam_ba_cache")
     if cache_dir:  # persistent executable cache: bucket compiles are paid
         try:  # once per MACHINE, not once per worker incarnation
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass  # older jax without the knob: compile as before
+
+
+def _warmer_main(conn, warm_caps, cam_tuple, platform):
+    """Throwaway bucket-warming process: compiles the LM+Schur ladder into
+    the PERSISTENT cache and exits. Runs beside the solver process so a
+    minutes-long warm compile can never queue a real local-BA solve behind
+    it (round-3 bench: 4/5 BA windows skipped while the solver warmed
+    buckets the run never used). The solver sees the warmth through the
+    shared on-disk cache: its own on-demand compile becomes a ~2 s cache
+    load instead of a remote compile."""
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    _enable_persistent_cache(jax)
+
+    import tpuslam  # noqa: F401  (matmul precision)
+    from tpuslam.backend.lm import LMConfig
+    from tpuslam.backend.local_ba import LocalBAConfig, _chi2_jit, _run_lm_jit
+    from tpuslam.geometry.camera import Intrinsics
+    from tpuslam.parallel.sharded_ba import _toy_problem
+
+    cam = Intrinsics(*cam_tuple)
+    ba_cfg = LocalBAConfig()
+    rng = np.random.default_rng(0)
+    for P_, L_, OL_ in warm_caps:
+        try:
+            prob = _toy_problem(rng, P_=P_, L=L_, OL=OL_, cam=cam)
+            state = _run_lm_jit(prob, cam, LMConfig(max_iters=8))
+            _chi2_jit(state, prob, cam, ba_cfg.chi2_line, ba_cfg.chi2_point)
+            np.asarray(state.cost)  # drain
+            # one "warmed" per bucket: clients can wait for just the first
+            # (smallest, most-used) bucket instead of the full ladder
+            conn.send(("warmed", -1, (P_, L_, OL_)))
+        except Exception:
+            break
+    try:
+        conn.send(("warm_done", -1, None))
+    except Exception:
+        pass
+
+
+def _worker_main(conn, cam_tuple, platform):
+    # child process: own jax runtime, own compiled programs
+    import jax
+
+    if platform:  # tests run on CPU; the env var alone does not stick
+        jax.config.update("jax_platforms", platform)
+    _enable_persistent_cache(jax)
 
     import tpuslam  # noqa: F401  (matmul precision)
     from tpuslam.backend.lm import BAProblem, LMConfig
@@ -71,46 +115,14 @@ def _worker_main(conn, warm_caps, cam_tuple, platform):
             repr(lm_cfg),
         )
 
-    # ready IMMEDIATELY: warmup happens lazily between requests, so the
-    # parent's first solve never waits for the full bucket ladder — a solve
-    # against an unwarmed bucket simply compiles here, in THIS process,
-    # where the compile cannot degrade the tracking process's dispatches
+    # ready IMMEDIATELY: a solve against an unwarmed bucket simply compiles
+    # here, in THIS process, where the compile cannot degrade the tracking
+    # process's dispatches (and hits the persistent cache when the warmer
+    # process got to that bucket first)
     conn.send(("ready", -1, None))
-    warm_queue = (
-        list(warm_caps)
-        if os.environ.get("TPUSLAM_BA_WORKER_WARMUP", "1") == "1"
-        else []
-    )
-    if not warm_queue:
-        conn.send(("warmed", -1, None))
-
-    def warm_one():
-        from tpuslam.parallel.sharded_ba import _toy_problem
-
-        P_, L_, OL_ = warm_queue.pop(0)
-        rng = np.random.default_rng(0)
-        prob = _toy_problem(rng, P_=P_, L=L_, OL=OL_, cam=cam)
-        key = _bucket_key(
-            {f: np.asarray(getattr(prob, f)) for f in prob._fields},
-            LMConfig(max_iters=8),
-        )
-        if key in seen:  # a real solve already compiled this bucket
-            conn.send(("warmed", -1, (P_, L_, OL_)))
-            return
-        state = _run_lm_jit(prob, cam, LMConfig(max_iters=8))
-        _chi2_jit(state, prob, cam, ba_cfg.chi2_line, ba_cfg.chi2_point)
-        np.asarray(state.cost)  # drain
-        seen.add(key)
-        # one "warmed" per bucket: clients can wait for just the first
-        # (smallest, most-used) bucket instead of the full ladder — the big
-        # buckets take minutes each on a bad compile-lottery day
-        conn.send(("warmed", -1, (P_, L_, OL_)))
 
     while True:
         try:
-            if warm_queue and not conn.poll(0):
-                warm_one()
-                continue
             msg = conn.recv()
         except EOFError:
             return
@@ -169,11 +181,25 @@ class BASolverWorker:
         self._conn, child = ctx.Pipe()
         self._proc = ctx.Process(
             target=_worker_main,
-            args=(child, warm_caps, tuple(cam), platform),
+            args=(child, tuple(cam), platform),
             daemon=True,
         )
         self._proc.start()
         child.close()
+        # bucket warms run in their own THROWAWAY process (shared persistent
+        # cache): a minutes-long warm compile in the solver would queue real
+        # local-BA solves behind it (observed ba_skipped=4/5 mid-bench)
+        self._warm_conn = None
+        self._warm_proc = None
+        if warm_caps and os.environ.get("TPUSLAM_BA_WORKER_WARMUP", "1") == "1":
+            self._warm_conn, wchild = ctx.Pipe()
+            self._warm_proc = ctx.Process(
+                target=_warmer_main,
+                args=(wchild, tuple(warm_caps), tuple(cam), platform),
+                daemon=True,
+            )
+            self._warm_proc.start()
+            wchild.close()
         self._ready = False
         self._warm_count = 0
         self._send_lock = threading.Lock()
@@ -236,26 +262,30 @@ class BASolverWorker:
                 return None
 
     def wait_warm(self, timeout: float = 1800.0, n_buckets: int = 1):
-        """Block until the worker has compiled its first ``n_buckets`` warm
-        buckets. Use before timing-sensitive sections (bench.py): the first
-        real solve otherwise pays a multi-second bucket compile, stalling
-        the async BA cadence (observed: 4/5 windows skipped mid-compile).
-        Default waits for ONE bucket — the small first bucket covers the
-        common local-BA windows, while the full ladder can take minutes of
-        compile on a bad lottery day (it keeps warming in the background)."""
+        """Block until the warmer process has compiled its first
+        ``n_buckets`` buckets into the persistent cache. Use before
+        timing-sensitive sections (bench.py): the first real solve otherwise
+        pays a bucket compile, stalling the async BA cadence (observed: 4/5
+        windows skipped mid-compile). Default waits for ONE bucket — the
+        small first bucket covers the common local-BA windows, while the
+        full ladder can take minutes of compile on a bad lottery day (the
+        warmer keeps going in the background, in its own process)."""
         self.wait_ready(timeout)
+        if self._warm_conn is None:
+            return  # warmup disabled: nothing to wait for
         deadline = time.monotonic() + timeout
         while self._warm_count < n_buckets:
             remain = deadline - time.monotonic()
-            if remain <= 0 or not self._conn.poll(max(remain, 0.0)):
+            if remain <= 0 or not self._warm_conn.poll(max(remain, 0.0)):
                 raise TimeoutError("BA worker warmup timed out")
-            kind, rid, payload = self._conn.recv()
-            if kind == "ready":
-                self._ready = True
-            elif kind == "warmed":
+            try:
+                kind, _, _ = self._warm_conn.recv()
+            except EOFError:
+                raise TimeoutError("BA warmer process exited early")
+            if kind == "warmed":
                 self._warm_count += 1
-            else:
-                self._stash[rid] = (kind, payload)
+            elif kind == "warm_done":
+                break
 
     # ---- async API (the LocalMapper per-keyframe pipeline) ---------------
     def submit(self, prob_arrays: dict, lm_cfg, chi2_line: float, chi2_point: float) -> int:
@@ -316,6 +346,13 @@ class BASolverWorker:
                 if self._proc.is_alive():
                     self._proc.terminate()
             self._conn.close()
+        except Exception:
+            pass
+        try:
+            if self._warm_proc is not None and self._warm_proc.is_alive():
+                self._warm_proc.terminate()
+            if self._warm_conn is not None:
+                self._warm_conn.close()
         except Exception:
             pass
 

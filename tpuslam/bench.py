@@ -102,16 +102,23 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         # most BA windows get skipped while it runs (BENCH_r02 postmortem).
         # Only the first bucket: the full ladder takes minutes on a bad
         # compile-lottery day and keeps warming in the background anyway.
-        log("bench: waiting for BA worker warmup (first bucket)...")
+        # wait for the FULL warm ladder (n_buckets=99 returns at the
+        # warmer's "warm_done"): the warmer runs in its own process, and its
+        # remote compiles CONTEND on the serialized tunnel with everything
+        # else — measured: a 4.4 s uncontended cache-load solve took 35.5 s
+        # while the warmer compiled the big buckets mid-run. With the
+        # persistent cache warm this wait is ~30-60 s; a cold machine hits
+        # the timeout and proceeds (warmup keeps going in the background).
+        log("bench: waiting for BA warm ladder...")
         try:
             t0 = time.perf_counter()
             sys_._ba_worker.wait_warm(
                 timeout=float(os.environ.get("TPUSLAM_BENCH_BA_WARM_S", "300")),
-                n_buckets=1,
+                n_buckets=99,
             )
-            log(f"bench: BA worker warm in {time.perf_counter() - t0:.1f}s")
+            log(f"bench: BA warm ladder done in {time.perf_counter() - t0:.1f}s")
         except TimeoutError:
-            log("bench: BA worker warmup timed out; proceeding cold")
+            log("bench: BA warmup timed out; proceeding with warmer running")
     log("bench: warmup done; tracking...")
     times = []
     for f in range(n_scene_frames):
@@ -215,17 +222,24 @@ def _device_feed_fps(sys_, imgs, log, n=40):
         pairs[0], chain[0], chain[1], local, *args, sd=tr._direct_lines()
     )
     np.asarray(out.packed)
-    pend = None
+    from collections import deque
+
+    pend = deque()
     t0 = time.perf_counter()
     for i in range(n):
         out = fused_stereo_frame(
             pairs[i % 8], chain[0], chain[1], local, *args, sd=tr._direct_lines()
         )
         chain = (out.T_last, out.T_prevlast)
-        if pend is not None:
-            np.asarray(pend.packed)  # host resolve, one frame lagged
-        pend = out
-    np.asarray(pend.packed)
+        try:  # start the d2h at enqueue (tracking.py does the same)
+            out.packed.copy_to_host_async()
+        except Exception:
+            pass
+        pend.append(out)
+        if len(pend) > 2:
+            np.asarray(pend.popleft().packed)  # host resolve, two frames lagged
+    while pend:
+        np.asarray(pend.popleft().packed)
     dt = (time.perf_counter() - t0) / n
     log(f"bench: device-feed {1.0/dt:.1f} fps ({dt*1e3:.1f} ms/frame)")
     return 1.0 / dt

@@ -342,6 +342,18 @@ class Tracker:
                 sd=self._direct_lines(),
             )
         self._dev_chain = (out.T_last, out.T_prevlast)
+        # start the d2h of THIS frame's host-visible scalars now, so the
+        # resolve one frame from now finds the bytes already on host: a
+        # synchronous resolve pays a full ~24 ms tunnel round trip that no
+        # pipelining depth hides (probe_direct.py lag sweep: sync 33 ms/frame
+        # at any lag vs 14 ms with the copy started at enqueue)
+        try:
+            out.packed.copy_to_host_async()
+            if hybrid:
+                out.p_match_idx.copy_to_host_async()
+                out.p_inlier.copy_to_host_async()
+        except Exception:
+            pass  # backend without async d2h: resolve stays synchronous
         self._resolve_fused()
         if self.state == TrackingState.OK:
             self._fuse_pending = (
