@@ -109,7 +109,9 @@ def test_fused_direct_stereo_tracks(rng):
     gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj])
     ate = absolute_trajectory_error(est, gt)
     assert ate.rmse < 0.03, ate
-    assert len(sys_.map.lines.live_ids()) >= 20
+    # 18 not 20: fuse_lag=2 (deeper pipelining) binds observations one frame
+    # later, so the 14-frame run triangulates one window fewer of lines
+    assert len(sys_.map.lines.live_ids()) >= 18
 
 
 def test_fused_prescaled_halfres_tracks(rng):
@@ -143,8 +145,9 @@ def test_fused_prescaled_halfres_tracks(rng):
     gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj])
     ate = absolute_trajectory_error(est, gt)
     # 160x120 detection on a 320x240 rig: coarser than the VGA bench case,
-    # so the gate is looser than the full-res tests'
-    assert ate.rmse < 0.06, ate
+    # so the gate is looser than the full-res tests' (and fuse_lag=2 costs
+    # ~0.008 more on this 14-frame run: KF insertion lags one extra frame)
+    assert ate.rmse < 0.08, ate
     assert len(sys_.map.lines.live_ids()) >= 15
 
 

@@ -93,8 +93,13 @@ class TrackerConfig:
     # (extract pair + stereo + coarse + fine + acceptance) with the pose
     # chain device-resident, plus a worker-thread image uploader — the
     # tunnel's ~4 ms/dispatch and thread-blocking h2d make this the fast
-    # path (frontend/pipeline.py). Results lag TWO frames. Kill switch:
-    # TPUSLAM_FUSED=0.
+    # path (frontend/pipeline.py). Results lag 1 + fuse_lag frames. Kill
+    # switch: TPUSLAM_FUSED=0.
+    fuse_lag: int = 2  # fused frames in flight before the oldest is resolved.
+    # The tunnel's d2h round trip is ~24 ms; at lag 1 the resolve lands
+    # ~one frame after its copy_to_host_async and blocks on the wire, at
+    # lag 2 the bytes are host-resident by resolve time (probe_direct lag
+    # sweep + probe_overlap2, PERF_NOTES round-3).
     min_init_lines: int = 20
     min_track_matches: int = 10
     min_track_inliers: int = 8
@@ -166,7 +171,9 @@ class Tracker:
         # fused-pipeline state (frontend/pipeline.py)
         self._completed: deque = deque()  # FrameResults finished this call
         self._up_pending = None  # (frame_idx, ts, upload handle)
-        self._fuse_pending = None  # (frame_idx, ts, FusedFrameOut, ids, valid)
+        # in-flight fused frames, oldest first: entries are
+        # (frame_idx, ts, FusedFrameOut, ids, valid, point_ids, point_valid)
+        self._fuse_queue: deque = deque()
         self._dev_chain = None  # (T_last, T_prevlast) device arrays
         self._uploader = None
 
@@ -281,13 +288,26 @@ class Tracker:
 
         if self._uploader is None:
             self._uploader = AsyncUploader()
-        handle = self._uploader.submit(np.ascontiguousarray(np.stack([il, ir])))
-        prev_up, self._up_pending = self._up_pending, (self.frame_idx, timestamp, handle)
+        pair = np.ascontiguousarray(np.stack([il, ir]))
+        slot = []
+
+        def _submit():
+            # start THIS frame's h2d only after the previous frame's fused
+            # dispatch is on the wire: the tunnel is one serialized channel,
+            # and image bytes submitted first make the (tiny) dispatch RPC
+            # queue behind ~8 ms of upload while the device idles — the
+            # upload then rides during the compute instead (PERF_NOTES).
+            slot.append(self._uploader.submit(pair))
+
+        prev_up = self._up_pending
         if prev_up is not None:
-            self._fuse_compute(prev_up)
+            self._fuse_compute(prev_up, on_enqueued=_submit)
+        if not slot:
+            _submit()
+        self._up_pending = (self.frame_idx, timestamp, slot[0])
         return self._completed.popleft() if self._completed else None
 
-    def _fuse_compute(self, up):
+    def _fuse_compute(self, up, on_enqueued=None):
         """Enqueue the fused frame program for an uploaded frame, then
         resolve the previous fused frame (its d2h overlaps this compute)."""
         from tpuslam.frontend.pipeline import (
@@ -305,9 +325,16 @@ class Tracker:
                 jnp.asarray(vel_inv @ T_last),
             )
         local = self._local_map_arrays()
+        # snapshot the landmark ids THIS program matches against (the
+        # resolve, fuse_lag frames later, binds observations through them)
+        lids_snap = self._local_ids.copy()
+        lvalid_snap = self._local_valid.copy()
+        plids_snap = plvalid_snap = None
         hybrid = self.cfg.points is not None
         if hybrid:
             plocal = self._point_local_arrays()
+            plids_snap = self._plocal_ids.copy()
+            plvalid_snap = self._plocal_valid.copy()
             out = fused_stereo_frame_hybrid(
                 pair_dev,
                 self._dev_chain[0],
@@ -354,32 +381,46 @@ class Tracker:
                 out.p_inlier.copy_to_host_async()
         except Exception:
             pass  # backend without async d2h: resolve stays synchronous
-        self._resolve_fused()
-        if self.state == TrackingState.OK:
-            self._fuse_pending = (
-                pidx, pts, out, self._local_ids.copy(), self._local_valid.copy(),
-                self._plocal_ids.copy() if hybrid else None,
-                self._plocal_valid.copy() if hybrid else None,
-            )
-        else:
-            # the program above ran against a chain the resolve just declared
-            # LOST — its track output is garbage; relocalize this frame on
-            # its (pose-independent) extracted features instead
-            self._dev_chain = None
-            saved = self.frame_idx
-            self.frame_idx = pidx
-            if hybrid:
-                self._cur_pfeats = out.pfeats
+        if on_enqueued is not None:
+            on_enqueued()  # next frame's upload rides during this compute
+        self._fuse_queue.append(
+            (pidx, pts, out, lids_snap, lvalid_snap, plids_snap, plvalid_snap)
+        )
+        while (
+            len(self._fuse_queue) > max(1, self.cfg.fuse_lag)
+            and self.state == TrackingState.OK
+        ):
+            self._resolve_fused_one()
+        if self.state != TrackingState.OK:
+            self._relocalize_inflight()
+
+    def _relocalize_inflight(self):
+        """A resolve declared LOST: every still-in-flight fused frame tracked
+        a poisoned pose chain — its track output is garbage. Complete each by
+        relocalizing on its (pose-independent) extracted features, in order."""
+        self._dev_chain = None
+        q, self._fuse_queue = list(self._fuse_queue), deque()
+        saved = self.frame_idx
+        for qidx, qts, qout, _, _, _, _ in q:
+            self.frame_idx = qidx
+            if qout.pfeats is not None:
+                self._cur_pfeats = qout.pfeats
                 self._cur_p_match = None
-            r = self._track_frame_sync(out.feats, pts, stereo=True, relocalize=True)
-            self.frame_idx = saved
+            r = self._track_frame_sync(qout.feats, qts, stereo=True, relocalize=True)
             self._completed.append(r)
+        self.frame_idx = saved
 
     def _resolve_fused(self):
-        if self._fuse_pending is None:
+        """Drain every in-flight fused frame (pipeline flush)."""
+        while self._fuse_queue and self.state == TrackingState.OK:
+            self._resolve_fused_one()
+        if self._fuse_queue:
+            self._relocalize_inflight()
+
+    def _resolve_fused_one(self):
+        if not self._fuse_queue:
             return
-        fidx, fts, out, lids, lvalid, plids, plvalid = self._fuse_pending
-        self._fuse_pending = None
+        fidx, fts, out, lids, lvalid, plids, plvalid = self._fuse_queue.popleft()
         packed = np.asarray(out.packed)
         n_matches = int(packed[16])
         n_inliers = int(packed[17])
