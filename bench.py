@@ -53,14 +53,22 @@ def _run(env_extra, timeout):
     raise RuntimeError(f"bench subprocess produced no result: {proc.stderr[-2000:]}")
 
 
+def _fps(res):
+    """Headline fps for a sub-bench result: frames/wall (the BASELINE.md
+    measurement rule; the only meaningful number for chunked ingest, where
+    per-call medians hit buffering calls). Older results lack fps_wall."""
+    return res.get("fps_wall", res["fps_median"])
+
+
 def _emit(best, extra):
     """Print a complete headline JSON line from whatever has finished."""
     line = {
         "metric": "stereo_vga_tracking_fps",
-        "value": round(best["fps_median"], 2),
+        "value": round(_fps(best), 2),
         "unit": "fps",
-        "vs_baseline": round(best["fps_median"] / 200.0, 4),
+        "vs_baseline": round(_fps(best) / 200.0, 4),
         "detail": {
+            "fps_median_per_call": round(best["fps_median"], 2),
             "track_ms_median": round(best["track_ms_median"], 3),
             "local_ba_ms": round(best.get("local_ba_ms", 0.0), 3),
             "mapping_enabled": bool(best.get("_mapping", False)),
@@ -103,11 +111,11 @@ def main():
             continue
         res["_mapping"] = True
         log(
-            f"headline attempt {attempt}: {res['fps_median']:.2f} fps "
+            f"headline attempt {attempt}: {_fps(res):.2f} fps "
             f"(track {res['track_ms_median']:.1f} ms, "
             f"ba {res.get('local_ba_ms', 0.0):.1f} ms)"
         )
-        if best is None or res["fps_median"] > best["fps_median"]:
+        if best is None or _fps(res) > _fps(best):
             best = res
             _emit(best, extra)  # artifact exists from this moment on
         if res["track_ms_median"] <= HEALTHY_TRACK_MS or _remaining() < 400.0:
@@ -122,10 +130,10 @@ def main():
                 timeout=min(700.0, _remaining() - 30.0),
             )
             log(
-                f"tracking-only: {res2['fps_median']:.2f} fps "
+                f"tracking-only: {_fps(res2):.2f} fps "
                 f"(device-feed {res2.get('fps_device_feed', 0.0):.1f})"
             )
-            extra["fps_tracking_only"] = round(res2["fps_median"], 2)
+            extra["fps_tracking_only"] = round(_fps(res2), 2)
             extra["fps_tracking_only_device_feed"] = round(
                 res2.get("fps_device_feed", 0.0), 2
             )

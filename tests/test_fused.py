@@ -151,6 +151,42 @@ def test_fused_prescaled_halfres_tracks(rng):
     assert len(sys_.map.lines.live_ids()) >= 15
 
 
+def test_fused_chunk_tracks(rng):
+    """Chunked ingest (TrackerConfig.chunk: C frames per upload + one
+    lax.scan dispatch) must track like the per-frame fused path, account for
+    every frame including a partial chunk at flush, and recover from a
+    blank-frame LOST mid-chunk."""
+    from tpuslam.kernels.stereo_direct import DirectStereoParams
+
+    n = 15  # NOT divisible by chunk=4: exercises the partial-chunk flush
+    scene, frames = _render_seq(rng, n, u8=True)
+    blank = np.zeros_like(frames[0][0])
+    frames[9] = (blank, blank)
+    sys_ = System(
+        CAM,
+        sensor="stereo",
+        loop_closing=False,
+        mapping=True,
+        tracker_cfg=TrackerConfig(
+            pipelined=True, chunk=4, direct_stereo=DirectStereoParams(max_disp=64.0)
+        ),
+    )
+    for f, (il, ir) in enumerate(frames):
+        sys_.track_stereo(il, ir, f * 0.05)
+    sys_.shutdown()
+    traj = sys_.trajectory
+    assert sorted(r.frame_idx for r in traj) == list(range(n))
+    by_idx = {r.frame_idx: r for r in traj}
+    assert any(r.state == TrackingState.LOST for r in traj)  # blank frame
+    assert by_idx[n - 1].state == TrackingState.OK  # recovered
+    good = [r for r in traj if r.state == TrackingState.OK and r.frame_idx < 9]
+    est = np.stack([np.linalg.inv(r.T_cw)[:3, 3] for r in good])
+    gt = np.stack([np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in good])
+    ate = absolute_trajectory_error(est, gt)
+    assert ate.rmse < 0.05, ate
+    assert len(sys_.map.lines.live_ids()) >= 10
+
+
 def test_fused_u8_matches_f32(rng):
     n = 8
     scene, frames_u8 = _render_seq(rng, n, u8=True)

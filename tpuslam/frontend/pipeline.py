@@ -228,8 +228,7 @@ def _track_pair(
     )
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
-def _fused_frame_direct(
+def _fused_frame_direct_body(
     pair, T_last, T_prevlast,
     lm_plucker, lm_ep3d, lm_bits, lm_validf,
     fxb: float, cam: Intrinsics, fe: FrontendParams, sd,
@@ -255,6 +254,40 @@ def _fused_frame_direct(
         lm_validf, cam, sc, sf, po, min_inliers,
     )
     return fl, depth, okf, midx, inlier, packed, T_acc, T_prev
+
+
+_fused_frame_direct = partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))(
+    _fused_frame_direct_body
+)
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
+def _fused_chunk_direct(
+    pairs, T_last, T_prevlast,
+    lm_plucker, lm_ep3d, lm_bits, lm_validf,
+    fxb: float, cam: Intrinsics, fe: FrontendParams, sd,
+    sc: ProjectionSearchParams, sf: ProjectionSearchParams,
+    po: PoseOptConfig, min_inliers: int,
+):
+    """C consecutive direct-stereo frames in ONE dispatch: lax.scan of the
+    single-frame body over a (C, 2, H, W) chunk, pose chain threaded through
+    the scan carry. Amortizes the tunnel's ~4 ms/dispatch + per-upload RTT
+    over C frames (the scan emits the frame body once, so the compile is a
+    single-frame compile). All frames in a chunk match against the SAME
+    local-map snapshot — the same staleness class as fuse_lag; the host
+    binds observations through the snapshot ids at resolve time."""
+
+    def step(chain, pair):
+        fl, depth, okf, midx, inlier, packed, T_acc, T_prev = _fused_frame_direct_body(
+            pair, chain[0], chain[1], lm_plucker, lm_ep3d, lm_bits, lm_validf,
+            fxb, cam, fe, sd, sc, sf, po, min_inliers,
+        )
+        return (T_acc, T_prev), (fl, depth, okf, midx, inlier, packed)
+
+    (T_l, T_p), (fl, depth, okf, midx, inlier, packed) = jax.lax.scan(
+        step, (T_last, T_prevlast), pairs
+    )
+    return fl, depth, okf, midx, inlier, packed, T_l, T_p
 
 
 def _track_core_hybrid_body(
@@ -539,6 +572,39 @@ def fused_stereo_frame(
         packed=packed,
         T_last=T_acc,
         T_prevlast=T_prev,
+    )
+
+
+def fused_stereo_chunk(
+    pairs: jnp.ndarray,
+    T_last: jnp.ndarray,
+    T_prevlast: jnp.ndarray,
+    local: dict,
+    fxb: float,
+    cam: Intrinsics,
+    fe: FrontendParams,
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    po: PoseOptConfig,
+    min_inliers: int,
+    sd,
+) -> FusedFrameOut:
+    """C consecutive stereo tracking frames in one dispatch (direct-stereo
+    only). Per-frame fields of the returned FusedFrameOut carry a leading
+    (C,) chunk axis; T_last/T_prevlast are the final chain state."""
+    fl, depth, okf, midx, inlier, packed, T_l, T_p = _fused_chunk_direct(
+        pairs, T_last, T_prevlast,
+        local["plucker"], local["ep3d"], local["bits"], local["valid"],
+        float(fxb), cam, fe, sd, sc, sf, po, int(min_inliers),
+    )
+    feats = fl._replace(depth=depth, has_depth=okf)
+    return FusedFrameOut(
+        feats=feats,
+        match_idx=midx,
+        inlier=inlier,
+        packed=packed,
+        T_last=T_l,
+        T_prevlast=T_p,
     )
 
 

@@ -100,6 +100,12 @@ class TrackerConfig:
     # ~one frame after its copy_to_host_async and blocks on the wire, at
     # lag 2 the bytes are host-resident by resolve time (probe_direct lag
     # sweep + probe_overlap2, PERF_NOTES round-3).
+    chunk: int = 1  # fused frames per device dispatch (direct-stereo lines-
+    # only mode): C consecutive frames ride ONE upload + ONE lax.scan program
+    # (pipeline.fused_stereo_chunk), amortizing the tunnel's ~4 ms dispatch
+    # and ~24 ms per-upload RTT over C frames. Results lag up to 2 chunks;
+    # all frames of a chunk match against the same local-map snapshot (the
+    # fuse_lag staleness class, one step deeper). 1 = off.
     min_init_lines: int = 20
     min_track_matches: int = 10
     min_track_inliers: int = 8
@@ -134,6 +140,55 @@ class FrameResult:
     n_matches: int = 0
     n_inliers: int = 0
     made_keyframe: bool = False
+
+
+class _ChunkFrameView:
+    """Per-frame view into a chunked FusedFrameOut (pipeline.fused_stereo_
+    chunk): presents the single-frame FusedFrameOut interface to the resolve
+    machinery. `packed` rows come from ONE chunk-wide d2h (cached across the
+    chunk's views); feature/match slices dispatch a device gather only on
+    the frames that actually need them (KF creation, fallback paths)."""
+
+    pfeats = None
+    p_match_idx = None
+    p_inlier = None
+
+    def __init__(self, chunk_out, i: int, packed_cache: dict):
+        self._chunk = chunk_out
+        self._i = i
+        self._cache = packed_cache
+        self._feats = None
+        self._midx = None
+        self._inl = None
+
+    @property
+    def packed(self) -> np.ndarray:
+        if "packed" not in self._cache:
+            self._cache["packed"] = np.asarray(self._chunk.packed)
+        return self._cache["packed"][self._i]
+
+    @property
+    def feats(self):
+        if self._feats is None:
+            self._feats = jax.tree_util.tree_map(
+                lambda x: x[self._i], self._chunk.feats
+            )
+        return self._feats
+
+    @property
+    def match_idx(self):
+        return self._midx if self._midx is not None else self._chunk.match_idx[self._i]
+
+    @property
+    def inlier(self):
+        return self._inl if self._inl is not None else self._chunk.inlier[self._i]
+
+    def _replace(self, match_idx=None, inlier=None):
+        if match_idx is not None:
+            self._midx = match_idx
+        if inlier is not None:
+            self._inl = inlier
+        return self
 
 
 class Tracker:
@@ -176,6 +231,7 @@ class Tracker:
         self._fuse_queue: deque = deque()
         self._dev_chain = None  # (T_last, T_prevlast) device arrays
         self._uploader = None
+        self._chunk_buf: list = []  # host frames awaiting a full chunk
 
     # ---- public API ----------------------------------------------------
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> Optional[FrameResult]:
@@ -283,11 +339,20 @@ class Tracker:
         fe = self.cfg.frontend
         return inject_coord_scale(p, fe.base_scale, fe.prescaled)
 
+    def _chunk_size(self) -> int:
+        """Frames per fused dispatch; chunking needs the direct-stereo
+        lines-only scan program (pipeline._fused_chunk_direct)."""
+        if self.cfg.points is not None or self.cfg.direct_stereo is None:
+            return 1
+        return max(1, int(self.cfg.chunk))
+
     def _track_stereo_fused(self, il, ir, timestamp: float) -> Optional[FrameResult]:
         from tpuslam.frontend.pipeline import AsyncUploader
 
         if self._uploader is None:
             self._uploader = AsyncUploader()
+        if self._chunk_size() > 1:
+            return self._track_stereo_fused_chunk(il, ir, timestamp)
         pair = np.ascontiguousarray(np.stack([il, ir]))
         slot = []
 
@@ -306,6 +371,86 @@ class Tracker:
             _submit()
         self._up_pending = (self.frame_idx, timestamp, slot[0])
         return self._completed.popleft() if self._completed else None
+
+    def _track_stereo_fused_chunk(self, il, ir, timestamp: float) -> Optional[FrameResult]:
+        """Chunked fused ingest: buffer C frames, then ship them as ONE
+        (C, 2, H, W) upload + ONE scan dispatch (pipeline.fused_stereo_chunk).
+        Same upload-after-dispatch ordering and in-flight queue as the
+        single-frame path; results lag up to two chunks."""
+        self._chunk_buf.append((self.frame_idx, timestamp, il, ir))
+        if len(self._chunk_buf) < self._chunk_size():
+            return self._completed.popleft() if self._completed else None
+        buf, self._chunk_buf = self._chunk_buf, []
+        idxs = [b[0] for b in buf]
+        tss = [b[1] for b in buf]
+        pairs = np.ascontiguousarray(
+            np.stack([np.stack([b[2], b[3]]) for b in buf])
+        )
+        slot = []
+
+        def _submit():
+            slot.append(self._uploader.submit(pairs))
+
+        prev_up = self._up_pending
+        if prev_up is not None:
+            self._chunk_compute(prev_up, on_enqueued=_submit)
+        if not slot:
+            _submit()
+        self._up_pending = (idxs, tss, slot[0])
+        return self._completed.popleft() if self._completed else None
+
+    def _chunk_compute(self, up, on_enqueued=None):
+        """Enqueue the chunk scan program for an uploaded (C, 2, H, W) chunk
+        and append one per-frame view entry per frame to the in-flight
+        queue; then resolve everything older than the current chunk."""
+        from tpuslam.frontend.pipeline import fused_stereo_chunk
+
+        idxs, tss, handle = up
+        (pairs_dev,) = handle.get()
+        if self._dev_chain is None:
+            T_last = np.asarray(self.T_cw, np.float32)
+            vel_inv = np.linalg.inv(self.velocity).astype(np.float32)
+            self._dev_chain = (jnp.asarray(T_last), jnp.asarray(vel_inv @ T_last))
+        local = self._local_map_arrays()
+        lids_snap = self._local_ids.copy()
+        lvalid_snap = self._local_valid.copy()
+        out = fused_stereo_chunk(
+            pairs_dev,
+            self._dev_chain[0],
+            self._dev_chain[1],
+            local,
+            float(self.cam.fx * self.cam.baseline),
+            self.cam,
+            self.cfg.frontend,
+            self.cfg.search_coarse,
+            self.cfg.search_fine,
+            self.cfg.pose_opt,
+            self.cfg.min_track_inliers,
+            sd=self._direct_lines(),
+        )
+        self._dev_chain = (out.T_last, out.T_prevlast)
+        try:
+            out.packed.copy_to_host_async()
+        except Exception:
+            pass
+        if on_enqueued is not None:
+            on_enqueued()  # next chunk's upload rides during this compute
+        cache: dict = {}
+        for i, (fidx, fts) in enumerate(zip(idxs, tss)):
+            self._fuse_queue.append(
+                (fidx, fts, _ChunkFrameView(out, i, cache),
+                 lids_snap, lvalid_snap, None, None)
+            )
+        # resolve everything from PREVIOUS chunks (their d2h has been in
+        # flight for a whole chunk); never the chunk just dispatched — its
+        # packed resolve would block on the entire chunk's compute
+        while (
+            len(self._fuse_queue) > max(self._chunk_size(), self.cfg.fuse_lag)
+            and self.state == TrackingState.OK
+        ):
+            self._resolve_fused_one()
+        if self.state != TrackingState.OK:
+            self._relocalize_inflight()
 
     def _fuse_compute(self, up, on_enqueued=None):
         """Enqueue the fused frame program for an uploaded frame, then
@@ -494,20 +639,42 @@ class Tracker:
         self._resolve_fused()
         if self._up_pending is not None:
             up, self._up_pending = self._up_pending, None
+            chunked = isinstance(up[0], list)
             if self.state == TrackingState.OK:
-                self._fuse_compute(up)
+                if chunked:
+                    self._chunk_compute(up)
+                else:
+                    self._fuse_compute(up)
                 self._resolve_fused()
             else:
                 # chain is poisoned (LOST): extract only, then relocalize
                 pidx, pts, handle = up
                 (pair_dev,) = handle.get()
                 pair_h = np.asarray(pair_dev)
-                feats = self._stereo_features(pair_h[0], pair_h[1])
+                if not chunked:
+                    pair_h, pidx, pts = pair_h[None], [pidx], [pts]
                 saved = self.frame_idx
-                self.frame_idx = pidx
-                r = self._track_frame_sync(feats, pts, stereo=True, relocalize=True)
+                for i in range(pair_h.shape[0]):
+                    feats = self._stereo_features(pair_h[i, 0], pair_h[i, 1])
+                    self.frame_idx = pidx[i]
+                    r = self._track_frame_sync(feats, pts[i], stereo=True, relocalize=True)
+                    self._completed.append(r)
                 self.frame_idx = saved
+        if self._chunk_buf:
+            # partial chunk at flush: complete the buffered frames through
+            # the sync path (no new program shapes, exact same math)
+            buf, self._chunk_buf = self._chunk_buf, []
+            saved = self.frame_idx
+            for fidx, fts, il, ir in buf:
+                feats = self._stereo_features(il, ir)
+                self.frame_idx = fidx
+                r = self._track_frame_sync(
+                    feats, fts, stereo=True,
+                    relocalize=self.state != TrackingState.OK,
+                )
                 self._completed.append(r)
+            self.frame_idx = saved
+            self._dev_chain = None  # host poses advanced past the device chain
 
     # ---- pipelined mode --------------------------------------------------
     def _track_pipelined(self, feats: FrameFeatures, timestamp: float, stereo: bool):
@@ -936,8 +1103,11 @@ class Tracker:
             point_features=self._cur_pfeats,
         )
         # bind tracked landmarks: local slot i -> frame slot fine.match_idx[i]
-        match_idx = np.asarray(fine.match_idx)
-        inlier = np.asarray(fine.inlier) > 0.5
+        # (one overlapped d2h for both arrays — each serial resolve is a
+        # ~24 ms tunnel round trip, probe_kf.py)
+        match_idx, inlier = jax.device_get((fine.match_idx, fine.inlier))
+        match_idx = np.asarray(match_idx)
+        inlier = np.asarray(inlier) > 0.5
         for i in np.nonzero(inlier & (match_idx >= 0))[0]:
             lid = int(local_ids[i])
             if local_valid[i] and self.map.lines.alive[lid]:
@@ -946,8 +1116,12 @@ class Tracker:
                     self.map.lines.add_observation(lid, kf, slot)
         if stereo:
             # create new landmarks from unmatched stereo-depth features
-            plucker, ep3d, ok = triangulate_stereo_lines(
-                jnp.asarray(np.linalg.inv(self.T_cw)), feats, self.cam
+            # (device_get: ONE overlapped d2h for the three outputs instead
+            # of three serial tunnel round trips — probe_kf.py)
+            plucker, ep3d, ok = jax.device_get(
+                triangulate_stereo_lines(
+                    jnp.asarray(np.linalg.inv(self.T_cw)), feats, self.cam
+                )
             )
             ok = (np.asarray(ok) > 0.5) & (kf.line_ids < 0)
             self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)

@@ -30,7 +30,13 @@ from tpuslam.frontend.frame import FrameFeatures
 
 
 def _as_np(f: FrameFeatures) -> FrameFeatures:
-    return FrameFeatures(*[np.asarray(x) for x in f])
+    # jax.device_get starts copy_to_host_async on EVERY leaf before blocking
+    # on any: one overlapped transfer instead of ~12 serial ~24 ms round
+    # trips on the serialized tunnel (measured 315 ms/KF -> ~30 ms,
+    # benchmarks/probe_kf.py)
+    import jax
+
+    return FrameFeatures(*[np.asarray(x) for x in jax.device_get(tuple(f))])
 
 
 @dataclass
@@ -235,7 +241,11 @@ class SlamMap:
             line_ids=np.full(f.valid.shape[0], -1, np.int32),
         )
         if point_features is not None:
-            pf = type(point_features)(*[np.asarray(x) for x in point_features])
+            import jax
+
+            pf = type(point_features)(
+                *[np.asarray(x) for x in jax.device_get(tuple(point_features))]
+            )
             kf.point_features = pf
             kf.point_ids = np.full(pf.valid.shape[0], -1, np.int32)
         self._next_kid += 1

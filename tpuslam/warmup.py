@@ -46,6 +46,27 @@ def __fused_frame_warm(cam, fe, sp, sc, sf, oc, NL, rng, dtype, sd=None):
     ).packed
 
 
+def __fused_chunk_warm(cam, fe, sc, sf, oc, NL, rng, chunk, sd):
+    import jax.numpy as jnp
+
+    from tpuslam.frontend.frame import prescaled_shape
+    from tpuslam.frontend.pipeline import fused_stereo_chunk
+
+    H, W = prescaled_shape(cam.height, cam.width, fe)
+    pairs = (rng.random((chunk, 2, H, W)) * 255).astype(np.uint8)
+    T = jnp.eye(4, dtype=jnp.float32)
+    local = dict(
+        plucker=jnp.asarray(rng.standard_normal((NL, 6)), jnp.float32),
+        ep3d=jnp.asarray(rng.standard_normal((NL, 2, 3)) + [0, 0, 6.0], jnp.float32),
+        bits=jnp.asarray(rng.integers(0, 2**31, (NL, 8)), jnp.uint32),
+        valid=jnp.ones(NL, jnp.float32),
+    )
+    return fused_stereo_chunk(
+        jnp.asarray(pairs), T, T, local, cam.fx * cam.baseline,
+        cam, fe, sc, sf, oc, 8, sd=sd,
+    ).packed
+
+
 def __direct_stereo_warm(cam, fe, sd, rng):
     from tpuslam.frontend.frame import prescaled_shape
     from tpuslam.kernels.stereo_direct import direct_line_disparity
@@ -68,6 +89,7 @@ def warmup_tracking(
     pose_opt_cfg=None,
     local_capacity: int = 1024,
     direct_stereo=None,
+    chunk: int = 1,
     with_mapping: bool = True,
     ba_caps=((8, 128, 512), (16, 256, 1024), (16, 512, 2048), (24, 512, 2048)),
     log: Optional[Callable[[str], None]] = None,
@@ -174,6 +196,17 @@ def warmup_tracking(
         # the production path for pipelined stereo tracking
         ("fused_frame_u8", lambda: __fused_frame_warm(
             cam, fe, sp, sc, sf, oc, NL, rng, np.uint8, sd=direct_stereo)),
+        # the chunked scan program (C frames per dispatch), when enabled
+        *(
+            [(
+                f"fused_chunk_{chunk}",
+                lambda: __fused_chunk_warm(
+                    cam, fe, sc, sf, oc, NL, rng, chunk, direct_stereo
+                ),
+            )]
+            if chunk > 1 and direct_stereo is not None
+            else []
+        ),
     ]
     if with_mapping:
         from tpuslam.backend.lm import LMConfig
