@@ -191,3 +191,73 @@ class TestLoopMachinery:
         # or its immediate neighbors), not the middle of the loop
         best = max(scores, key=scores.get)
         assert best in (0, 1, len(scores) - 1), scores
+
+
+class TestDatabaseCompaction:
+    def test_remove_compacts_tombstones(self):
+        """Heavy keyframe culling must not leave the database scoring dead
+        rows forever (VERDICT r2 weak #6): after removals dominate, the
+        storage compacts and queries return identical scores."""
+        from tpuslam.backend.loop_closing import KeyFrameDatabase
+
+        rng = np.random.default_rng(3)
+        n = 40
+        scene = make_loop_scene(rng, n_segments=280, n_frames=n, radius=6.0, room=10.0, cam=CAM)
+        smap = SlamMap()
+        db = KeyFrameDatabase(capacity_hint=8)
+        kfs = []
+        for f in range(n):
+            feats, _ = synthetic_frame_features(scene, f, noise_px=0.3, rng=rng)
+            kf = smap.new_keyframe(f, f * 0.1, scene.poses[f], feats)
+            db.add(kf)
+            kfs.append(kf)
+        assert db._bits_dev.shape[0] >= 40
+        q = kfs[-1]
+        scores_before = db.query(q)
+        # cull 3 of every 4 keyframes (keep the query's row + a few)
+        removed = [kf.kid for kf in kfs if kf.kid % 4 != 0]
+        for kid in removed:
+            db.remove(kid)
+        assert len(db) == sum(1 for kf in kfs if kf.kid % 4 == 0)
+        # compaction happened: physical rows shrank below the dead total
+        assert db._bits_dev.shape[0] < 40, db._bits_dev.shape
+        # residual tombstones stay below the compaction threshold
+        dead = sum(1 for k in db.kids if k is None)
+        assert dead <= max(len(db), db._cap0 - 1)
+        scores_after = db.query(q)
+        expect = {k: v for k, v in scores_before.items() if k % 4 == 0}
+        assert scores_after == expect
+        # the database keeps working after compaction (adds land in new rows)
+        feats, _ = synthetic_frame_features(scene, 0, noise_px=0.5, rng=rng)
+        kf_new = smap.new_keyframe(n, n * 0.1, scene.poses[0], feats)
+        db.add(kf_new)
+        assert kf_new.kid in db.query(q)
+
+
+class TestGlobalBAOverflow:
+    def test_overflowing_map_falls_back_to_essential_graph(self):
+        """A map larger than the global-BA pose buckets (VERDICT r2 weak #7)
+        must still be corrected by the essential graph: the closure succeeds,
+        gba_skipped increments, and trajectory error still collapses."""
+        from tpuslam.backend.global_ba import GlobalBAConfig
+        from tpuslam.backend.lm import LMConfig
+
+        scene, smap, closer, kfs, true_poses = _build_drifted_loop()
+        # 10 KFs > the 8-pose top bucket -> global BA must raise + be skipped
+        closer.cfg.run_global_ba = True
+        closer.cfg.gba_cfg = GlobalBAConfig(
+            pose_buckets=(8,), line_buckets=(256,), obs_buckets=(1024,),
+            lm=LMConfig(max_iters=2),
+        )
+        kf_last = kfs[-1][0]
+        before = np.linalg.norm(
+            kf_last.T_cw[:3, 3] - true_poses[kf_last.frame_idx][:3, 3]
+        )
+        ok = closer._close(kf_last, 0)
+        assert ok
+        assert closer.gba_skipped == 1
+        after = np.linalg.norm(
+            smap.keyframes[kf_last.kid].T_cw[:3, 3]
+            - true_poses[kf_last.frame_idx][:3, 3]
+        )
+        assert after < 0.3 * before + 1e-3

@@ -190,6 +190,32 @@ class KeyFrameDatabase:
             i = self.kids.index(kid)
             self.kids[i] = None
             self._valid_dev = _db_clear_row(self._valid_dev, jnp.int32(i))
+            self._maybe_compact()
+
+    def _maybe_compact(self):
+        """Compact tombstoned rows once they outnumber live rows (and the
+        dead weight exceeds a bucket's worth): heavy keyframe culling on a
+        long sequence otherwise accumulates dead rows that still cost matmul
+        columns in every query and inflate the capacity bucket. Compaction
+        is a rare O(C) host round-trip; steady state stays device-resident."""
+        dead = sum(1 for k in self.kids if k is None)
+        live = len(self.kids) - dead
+        if dead <= max(live, self._cap0 - 1):
+            return
+        bits = np.asarray(self._bits_dev)
+        valid = np.asarray(self._valid_dev)
+        keep = [i for i, k in enumerate(self.kids) if k is not None]
+        self.kids = [self.kids[i] for i in keep]
+        C = self._cap0
+        while C < len(keep) + self._cap0:  # headroom: adds must not regrow at once
+            C *= 2
+        new_bits = np.zeros((C,) + bits.shape[1:], bits.dtype)
+        new_valid = np.zeros((C,) + valid.shape[1:], valid.dtype)
+        if keep:
+            new_bits[: len(keep)] = bits[keep]
+            new_valid[: len(keep)] = valid[keep]
+        self._bits_dev = jnp.asarray(new_bits)
+        self._valid_dev = jnp.asarray(new_valid)
 
     def query_bits(
         self,
@@ -240,6 +266,9 @@ class LoopConfig:
     covis_edge_weight: int = 50
     pg: PoseGraphConfig = field(default_factory=PoseGraphConfig)
     run_global_ba: bool = True  # full-map BA after the essential graph
+    gba_cfg: object = None  # GlobalBAConfig override (None = defaults);
+    # lets tests/deployments bound the bucket ladder — an overflowing map
+    # falls back to the essential-graph-only correction (gba_skipped)
 
 
 class LoopCloser:
@@ -634,10 +663,14 @@ class LoopCloser:
         if self.cfg.run_global_ba:
             # SURVEY §4.4: the reference launches global BA on a thread after
             # the essential graph; here it runs synchronously (host schedule)
-            from tpuslam.backend.global_ba import global_bundle_adjustment
+            from tpuslam.backend.global_ba import GlobalBAConfig, global_bundle_adjustment
 
             try:
-                global_bundle_adjustment(self.map, self.cam, solver=self.solver)
+                global_bundle_adjustment(
+                    self.map, self.cam,
+                    cfg=self.cfg.gba_cfg or GlobalBAConfig(),
+                    solver=self.solver,
+                )
             except ValueError as e:
                 # Map exceeds the largest BA bucket: the essential graph has
                 # already corrected the trajectory; record + log the skip
