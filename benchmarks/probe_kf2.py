@@ -50,7 +50,9 @@ def timed_module(mod, name, label):
 
 def main():
     import jax
+    import os
 
+    os.environ.setdefault("TPUSLAM_BA_WARM_CAPS", "8,128,512;16,256,1024")
     cam = Intrinsics(fx=458.0, fy=457.0, cx=320.0, cy=240.0, width=640, height=480, baseline=0.11)
     rng = np.random.default_rng(0)
     n = 60
@@ -78,6 +80,7 @@ def main():
         pose_opt_cfg=tc.pose_opt, local_capacity=tc.local_capacity,
         direct_stereo=tc.direct_stereo,
         with_mapping=sys_._ba_worker is None,
+        fuse_search=sys_.mapper.cfg.fuse_search if sys_.mapper else None,
         log=lambda m: print(m, flush=True),
     )
     if sys_._ba_worker is not None:
@@ -85,7 +88,8 @@ def main():
             sys_._ba_worker.wait_warm(timeout=300, n_buckets=99)
             print("BA warm ladder done", flush=True)
         except TimeoutError:
-            print("BA warm TIMEOUT (results will show cold solves)", flush=True)
+            sys_._ba_worker.stop_warmer()
+            print("BA warm TIMEOUT; warmer stopped (uncontended run)", flush=True)
 
     tr = sys_.tracker
     mp = sys_.mapper

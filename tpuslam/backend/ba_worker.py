@@ -160,7 +160,10 @@ def _worker_main(conn, cam_tuple, platform):
 class BASolverWorker:
     """Client handle for the persistent solver subprocess."""
 
-    _DEFAULT_WARM = ((8, 128, 512), (16, 256, 1024), (16, 512, 2048), (24, 512, 2048))
+    # the DIAGONAL rungs of LocalBAConfig's bucket lists — production
+    # solves are constrained to exactly these shapes (local_ba.bucket_ladder),
+    # so this ladder covers every local-BA program a run can request
+    _DEFAULT_WARM = ((8, 128, 512), (16, 256, 1024), (24, 512, 2048), (24, 1024, 4096))
 
     def __init__(
         self,
@@ -172,6 +175,17 @@ class BASolverWorker:
             import jax
 
             platform = "cpu" if jax.default_backend() == "cpu" else None
+        env_caps = os.environ.get("TPUSLAM_BA_WARM_CAPS")
+        if env_caps is not None:
+            # "P,L,OL;P,L,OL;..." — lets a deployment (or the bench) bound
+            # the warm ladder to the buckets its run actually hits; the big
+            # buckets take minutes of remote compile and contend on the
+            # serialized tunnel with timed dispatches
+            warm_caps = tuple(
+                tuple(int(x) for x in part.split(","))
+                for part in env_caps.split(";")
+                if part.strip()
+            )
         self._ctor = (cam, tuple(warm_caps), platform)  # for restart()
         self._spawn()
 
@@ -213,12 +227,44 @@ class BASolverWorker:
         self.close()
         self._spawn()
 
+    def stop_warmer(self):
+        """Terminate the throwaway warmer process. A warm compile in flight
+        contends on the serialized tunnel with every timed dispatch
+        (PERF_NOTES: a 4.4 s solve took 35.5 s under warmer contention) —
+        callers that are about to time should stop it once their wait-for-
+        warmth budget is spent."""
+        p, self._warm_proc = self._warm_proc, None
+        conn, self._warm_conn = self._warm_conn, None
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:
+                pass
+        if p is not None and p.is_alive():
+            p.terminate()
+            p.join(timeout=5)
+
     def wait_ready(self, timeout: float = 1800.0):
         if self._ready:
             return
         if not self._conn.poll(timeout):
             raise TimeoutError("BA worker did not come up")
-        kind, _, _ = self._conn.recv()
+        try:
+            kind, _, _ = self._conn.recv()
+        except EOFError:
+            # the child died before sending "ready" — by far the most common
+            # cause is a caller script without a __main__ guard: the spawn
+            # start method re-imports the caller's main module, which then
+            # re-constructs System/BASolverWorker recursively and aborts
+            raise RuntimeError(
+                "BA worker subprocess died during startup. If your script "
+                "constructs tpuslam.System at module top level, wrap the "
+                "entry point in `if __name__ == '__main__':` — the worker "
+                "uses multiprocessing 'spawn', which re-imports your main "
+                "module (see 'Safe importing of main module' in the "
+                "multiprocessing docs). Alternatively pass "
+                "System(..., ba_worker=False) to solve in-process."
+            ) from None
         assert kind == "ready"
         self._ready = True
 

@@ -16,7 +16,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpuslam.backend.lm import BAProblem, LMConfig
-from tpuslam.backend.local_ba import _bucket, _project_endpoints_to_line, _run_lm_jit
+from tpuslam.backend.local_ba import (
+    _project_endpoints_to_line,
+    _run_lm_jit,
+    ladder_bucket,
+)
 from tpuslam.geometry.camera import Intrinsics
 from tpuslam.slammap.map import SlamMap
 
@@ -51,8 +55,17 @@ def global_bundle_adjustment(
     kids = slam_map.all_keyframe_ids()
     st = slam_map.lines
     live = [int(l) for l in st.live_ids() if st.n_obs[l] >= 2]
-    P = _bucket(len(kids), cfg.pose_buckets)
-    L = _bucket(len(live), cfg.line_buckets)
+    kid_set = set(kids)
+    n_obs_est = sum(
+        sum(1 for k in st.obs.get(l, {}) if k in kid_set) for l in live
+    )
+    # diagonal rung (local_ba.bucket_ladder): only ladder rungs ever
+    # compile, so the warm ladder / persistent cache can cover every
+    # program a loop-closure event can request
+    P, L, OL = ladder_bucket(
+        (len(kids), len(live), n_obs_est),
+        cfg.pose_buckets, cfg.line_buckets, cfg.obs_buckets,
+    )
     if len(kids) > P:
         raise ValueError(f"map too large for global BA buckets: {len(kids)} KFs")
     if len(live) > L:
@@ -78,7 +91,6 @@ def global_bundle_adjustment(
         for kid, slot in st.obs.get(l, {}).items():
             if kid in kf_pos:
                 rows.append((kf_pos[kid], line_pos[l], kid, slot))
-    OL = _bucket(len(rows), cfg.obs_buckets)
     rows = rows[:OL]
     l_pose = np.zeros(OL, np.int32)
     l_line = np.zeros(OL, np.int32)

@@ -46,6 +46,33 @@ def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
     return buckets[-1]
 
 
+def bucket_ladder(*bucket_lists: Tuple[int, ...]):
+    """The DIAGONAL of the per-axis bucket lists: rung i takes element i of
+    each list (last element repeated for shorter lists).
+
+    Production solves are constrained to these rungs instead of the full
+    cross-product of per-axis buckets: with independent bucketing a run can
+    hit combinations like (P=8, L=256, OL=512) that no warm ladder ever
+    compiled — observed as a 169 s cold LM+Schur compile mid-run while the
+    'warm ladder done' buckets sat unused (probe_kf2, round 3). A bounded
+    rung set means the warmer and the persistent cache cover EVERY program
+    a run can request, at the cost of some padding waste inside a rung."""
+    n = max(len(b) for b in bucket_lists)
+    return [
+        tuple(b[min(i, len(b) - 1)] for b in bucket_lists) for i in range(n)
+    ]
+
+
+def ladder_bucket(ns: Tuple[int, ...], *bucket_lists: Tuple[int, ...]):
+    """Smallest diagonal rung covering every requested size (last rung on
+    overflow — callers truncate to capacity exactly as with `_bucket`)."""
+    rungs = bucket_ladder(*bucket_lists)
+    for rung in rungs:
+        if all(n <= c for n, c in zip(ns, rung)):
+            return rung
+    return rungs[-1]
+
+
 _run_lm_jit = jax.jit(run_lm, static_argnums=(2,))
 _chi2_jit = jax.jit(chi2_outlier_mask, static_argnums=(3, 4))
 
@@ -206,13 +233,17 @@ def assemble_problem(
     fixed = sorted(fixed_counts, key=lambda k: (-fixed_counts[k], k))[: cfg.max_fixed]
     fixed_kept = set(fixed)
 
-    P = _bucket(len(window) + len(fixed), cfg.pose_buckets)
-    L = _bucket(len(line_ids), cfg.line_buckets)
     n_obs_est = sum(
         sum(1 for k in st.obs.get(l, {}) if k in window_set or k in fixed_kept)
         for l in line_ids
     )
-    OL = _bucket(n_obs_est, cfg.obs_buckets)
+    # diagonal rung, NOT independent per-axis buckets: only ladder rungs
+    # ever compile, so the warm ladder / persistent cache covers every
+    # program a run can request (see bucket_ladder)
+    P, L, OL = ladder_bucket(
+        (len(window) + len(fixed), len(line_ids), n_obs_est),
+        cfg.pose_buckets, cfg.line_buckets, cfg.obs_buckets,
+    )
     line_ids = line_ids[:L]
 
     # hybrid point blocks (empty on line-only maps: M=OP=1 stubs)
@@ -225,7 +256,9 @@ def assemble_problem(
             sum(1 for k in pst.obs.get(q, {}) if k in window_set or k in fixed_kept)
             for q in point_ids
         )
-        OP = _bucket(n_p_obs, cfg.p_obs_buckets)
+        M, OP = ladder_bucket(
+            (len(point_ids), n_p_obs), cfg.point_buckets, cfg.p_obs_buckets
+        )
     else:
         M, OP = 1, 1
 

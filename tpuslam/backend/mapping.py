@@ -105,8 +105,7 @@ class LocalMapper:
         if self.mono:
             self._create_new_maplines(kf)
             self._create_new_mappoints(kf)
-        self._fuse_in_neighbors(kf)
-        self._fuse_points_in_neighbors(kf)
+        self._fuse_all(kf)
         self.map.update_connections(kf)
         if self._kf_count % self.cfg.ba_every == 0 and len(self.map.keyframes) >= 2:
             if self.solver is not None:
@@ -419,9 +418,41 @@ class LocalMapper:
                 self._recent_pts[pid] = kf.kid
 
     # ---- duplicate fusion -----------------------------------------------
+    def _fuse_all(self, kf: KeyFrame):
+        """Dispatch the line- and point-duplicate-fusion searches together,
+        then resolve both with ONE overlapped d2h (each serial resolve is a
+        ~24-34 ms tunnel round trip — probe_kf2.py)."""
+        import jax
+
+        ld = self._fuse_lines_dispatch(kf)
+        pd = self._fuse_points_dispatch(kf)
+        if ld is None and pd is None:
+            return
+        lres, pres = jax.device_get(
+            (None if ld is None else (ld[0].valid, ld[0].idx),
+             None if pd is None else (pd[0].valid, pd[0].idx))
+        )
+        if ld is not None:
+            self._fuse_lines_apply(kf, ld[1], *lres)
+        if pd is not None:
+            self._fuse_points_apply(kf, pd[1], *pres)
+
     def _fuse_in_neighbors(self, kf: KeyFrame):
         """Match OLD local-map lines into this KF; where they land on a
         feature bound to a landmark born in this KF, merge the two."""
+        d = self._fuse_lines_dispatch(kf)
+        if d is not None:
+            self._fuse_lines_apply(kf, d[1], np.asarray(d[0].valid), np.asarray(d[0].idx))
+
+    def _fuse_points_in_neighbors(self, kf: KeyFrame):
+        """Point analog of `_fuse_in_neighbors`: project OLD neighborhood
+        point landmarks into this KF, match against its corners (radius +
+        BRIEF), and merge duplicates / add missed observations."""
+        d = self._fuse_points_dispatch(kf)
+        if d is not None:
+            self._fuse_points_apply(kf, d[1], np.asarray(d[0].valid), np.asarray(d[0].idx))
+
+    def _fuse_lines_dispatch(self, kf: KeyFrame):
         st = self.map.lines
         neighbors = self.map.covisible_keyframes(kf.kid, 5)
         old_ids = sorted(
@@ -433,7 +464,7 @@ class LocalMapper:
             }
         )
         if not old_ids:
-            return
+            return None
         # pad to a capacity bucket: the raw landmark count changes every
         # keyframe, and a data-dependent shape here recompiles the
         # projection-search programs per KF (~3.7 s/KF measured on the
@@ -455,8 +486,10 @@ class LocalMapper:
             self.cam,
             self.cfg.fuse_search,
         )
-        mv = np.asarray(m.valid)
-        midx = np.asarray(m.idx)
+        return m, ids
+
+    def _fuse_lines_apply(self, kf: KeyFrame, ids, mv, midx):
+        st = self.map.lines
         for i in np.nonzero(mv)[0]:
             slot = int(midx[i])
             old = int(ids[i])
@@ -468,13 +501,10 @@ class LocalMapper:
                 keep, drop = (old, cur) if st.n_obs[old] >= st.n_obs[cur] else (cur, old)
                 st.replace(drop, keep, self.map.keyframes)
 
-    def _fuse_points_in_neighbors(self, kf: KeyFrame):
-        """Point analog of `_fuse_in_neighbors`: project OLD neighborhood
-        point landmarks into this KF, match against its corners (radius +
-        BRIEF), and merge duplicates / add missed observations."""
+    def _fuse_points_dispatch(self, kf: KeyFrame):
         pf = kf.point_features
         if pf is None or kf.point_ids is None:
-            return
+            return None
         pst = self.map.points
         neighbors = self.map.covisible_keyframes(kf.kid, 5)
         old_ids = sorted(
@@ -487,7 +517,7 @@ class LocalMapper:
             }
         )
         if not old_ids:
-            return
+            return None
         n = len(old_ids)
         cap = 128
         while cap < n:
@@ -515,8 +545,10 @@ class LocalMapper:
             self.cfg.tri_point_match,
             pen,
         )
-        mv = np.asarray(m.valid)
-        midx = np.asarray(m.idx)
+        return m, ids
+
+    def _fuse_points_apply(self, kf: KeyFrame, ids, mv, midx):
+        pst = self.map.points
         for i in np.nonzero(mv)[0]:
             slot = int(midx[i])
             old = int(ids[i])

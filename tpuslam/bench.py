@@ -74,6 +74,10 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         tcfg.frontend = FrontendParams(base_scale=0.5, prescaled=prescaled)
     # chunked ingest: C frames per upload+dispatch (TrackerConfig.chunk)
     tcfg.chunk = int(os.environ.get("TPUSLAM_BENCH_CHUNK", "1"))
+    # bound the BA warm ladder to the buckets a bench-scale run hits: the
+    # bigger buckets take minutes of remote compile and their warmer
+    # CONTENDS on the serialized tunnel with every timed dispatch
+    os.environ.setdefault("TPUSLAM_BA_WARM_CAPS", "8,128,512;16,256,1024")
     sys_ = System(
         cam,
         sensor="stereo",
@@ -97,6 +101,9 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             # the BA worker owns (and lazily warms) the LM programs in its
             # own process; compiling them here too would re-poison this one
             with_mapping=mapping and sys_._ba_worker is None,
+            # the mapper's duplicate-fusion search runs in THIS process on
+            # every keyframe regardless of where the BA solve runs
+            fuse_search=sys_.mapper.cfg.fuse_search if sys_.mapper else None,
             log=log,
         )
     if mapping and sys_._ba_worker is not None:
@@ -121,7 +128,13 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             )
             log(f"bench: BA warm ladder done in {time.perf_counter() - t0:.1f}s")
         except TimeoutError:
-            log("bench: BA warmup timed out; proceeding with warmer running")
+            # do NOT leave the warmer compiling while we time: its remote
+            # compiles contend on the serialized tunnel with every timed
+            # dispatch (a 4.4 s solve measured 35.5 s under contention).
+            # First-touch solves will compile in-worker against the
+            # persistent cache instead.
+            sys_._ba_worker.stop_warmer()
+            log("bench: BA warmup timed out; warmer STOPPED (uncontended run)")
     log("bench: warmup done; tracking...")
     times = []
     t_wall0 = None

@@ -954,11 +954,15 @@ class Tracker:
             valid=jnp.asarray(valid),
         )
 
-    def _bind_point_landmarks(self, kf: KeyFrame, stereo: bool = True):
+    def _bind_point_landmarks(self, kf: KeyFrame, stereo: bool = True, pre=None):
         """KF creation, point half: bind tracked point inliers and (stereo)
         create new landmarks from unmatched stereo-depth corners. Mono KFs
         bind tracked inliers only — new mono points come from two-view
-        triangulation in the mapper (SURVEY §4.3 CreateNewMapPoints)."""
+        triangulation in the mapper (SURVEY §4.3 CreateNewMapPoints).
+
+        `pre`: optional already-resolved (xyz, okf) stereo point
+        triangulation (resolved alongside everything else in
+        `_create_keyframe`'s single overlapped d2h)."""
         pf = self._cur_pfeats
         if pf is None or kf.point_ids is None:
             return
@@ -972,9 +976,12 @@ class Tracker:
                         self.map.points.add_observation(pid, kf, slot)
         if not stereo:
             return
-        xyz, okf = triangulate_stereo_points(
-            jnp.asarray(np.linalg.inv(self.T_cw)), pf, self.cam
-        )
+        if pre is not None:
+            xyz, okf = pre
+        else:
+            xyz, okf = triangulate_stereo_points(
+                jnp.asarray(np.linalg.inv(self.T_cw)), pf, self.cam
+            )
         ok = (np.asarray(okf) > 0.5) & (kf.point_ids < 0)
         xyz = np.asarray(xyz)
         bits = np.asarray(kf.point_features.desc_bits)
@@ -1098,14 +1105,30 @@ class Tracker:
         if local_ids is None:
             local_ids = self._local_ids
             local_valid = self._local_valid
+        # Dispatch ALL keyframe device work first (line + point stereo
+        # triangulation), then resolve EVERYTHING the host needs — match
+        # arrays, the full feature structs, both triangulations — in ONE
+        # overlapped d2h. Each serial resolve is a ~24-34 ms tunnel round
+        # trip; the previous path paid ~5 of them per KF (probe_kf2.py).
+        pf = self._cur_pfeats
+        tri = ptri = None
+        if stereo:
+            T_wc = jnp.asarray(np.linalg.inv(self.T_cw))
+            tri = triangulate_stereo_lines(T_wc, feats, self.cam)
+            if pf is not None:
+                ptri = triangulate_stereo_points(T_wc, pf, self.cam)
+        match_idx, inlier, feats_np, pf_np, tri, ptri = jax.device_get(
+            (fine.match_idx, fine.inlier, tuple(feats),
+             None if pf is None else tuple(pf), tri, ptri)
+        )
+        feats_np = type(feats)(*[np.asarray(x) for x in feats_np])
+        if pf_np is not None:
+            pf_np = type(pf)(*[np.asarray(x) for x in pf_np])
         kf = self.map.new_keyframe(
-            self.frame_idx, timestamp, self.T_cw, feats,
-            point_features=self._cur_pfeats,
+            self.frame_idx, timestamp, self.T_cw, feats_np,
+            point_features=pf_np,
         )
         # bind tracked landmarks: local slot i -> frame slot fine.match_idx[i]
-        # (one overlapped d2h for both arrays — each serial resolve is a
-        # ~24 ms tunnel round trip, probe_kf.py)
-        match_idx, inlier = jax.device_get((fine.match_idx, fine.inlier))
         match_idx = np.asarray(match_idx)
         inlier = np.asarray(inlier) > 0.5
         for i in np.nonzero(inlier & (match_idx >= 0))[0]:
@@ -1116,16 +1139,10 @@ class Tracker:
                     self.map.lines.add_observation(lid, kf, slot)
         if stereo:
             # create new landmarks from unmatched stereo-depth features
-            # (device_get: ONE overlapped d2h for the three outputs instead
-            # of three serial tunnel round trips — probe_kf.py)
-            plucker, ep3d, ok = jax.device_get(
-                triangulate_stereo_lines(
-                    jnp.asarray(np.linalg.inv(self.T_cw)), feats, self.cam
-                )
-            )
+            plucker, ep3d, ok = tri
             ok = (np.asarray(ok) > 0.5) & (kf.line_ids < 0)
             self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)
-        self._bind_point_landmarks(kf, stereo=stereo)
+        self._bind_point_landmarks(kf, stereo=stereo, pre=ptri)
         self.map.update_connections(kf)
         self.ref_kf = kf.kid
         self.ref_tracked = max(

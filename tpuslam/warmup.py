@@ -91,7 +91,12 @@ def warmup_tracking(
     direct_stereo=None,
     chunk: int = 1,
     with_mapping: bool = True,
-    ba_caps=((8, 128, 512), (16, 256, 1024), (16, 512, 2048), (24, 512, 2048)),
+    ba_caps=((8, 128, 512), (16, 256, 1024), (24, 512, 2048), (24, 1024, 4096)),
+    fuse_search=None,  # MapperConfig.fuse_search: warm the mapper's in-
+    # process duplicate-fusion projection search (it runs in THIS process
+    # even when the BA solve is out-of-process; first use otherwise
+    # compiles on the per-keyframe path)
+    fuse_caps=(128, 256),
     log: Optional[Callable[[str], None]] = None,
 ):
     """Compile the per-frame stereo tracking programs in safe order."""
@@ -208,6 +213,23 @@ def warmup_tracking(
             else []
         ),
     ]
+    if fuse_search is not None:
+        from tpuslam.frontend.matcher import search_by_projection
+
+        for cap in fuse_caps:
+            def _fuse(cap=cap):
+                return search_by_projection(
+                    T,
+                    jnp.asarray(rng.standard_normal((cap, 2, 3)) + [0, 0, 6.0],
+                                jnp.float32),
+                    jnp.asarray(rng.integers(0, 2**31, (cap, 8)), jnp.uint32),
+                    jnp.ones(cap, jnp.float32),
+                    feat(),
+                    cam,
+                    fuse_search,
+                )
+
+            steps.append((f"fuse_search_{cap}", _fuse))
     if with_mapping:
         from tpuslam.backend.lm import LMConfig
         from tpuslam.backend.local_ba import LocalBAConfig, _chi2_jit, _run_lm_jit
