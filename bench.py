@@ -49,7 +49,9 @@ def _run(env_extra, timeout):
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            res = json.loads(line)
+            res["_stderr_tail"] = proc.stderr[-400:]
+            return res
     raise RuntimeError(f"bench subprocess produced no result: {proc.stderr[-2000:]}")
 
 
@@ -74,6 +76,7 @@ def _emit(best, extra):
             "mapping_enabled": bool(best.get("_mapping", False)),
             "fps_device_feed": round(best.get("fps_device_feed", 0.0), 2),
             "ate_rmse": round(best.get("ate_rmse", -1.0), 4),
+            "local_ba_cold": bool(best.get("local_ba_cold", False)),
             "ba_submitted": best.get("ba_submitted", 0),
             "ba_skipped": best.get("ba_skipped", 0),
             "ba_stale": best.get("ba_stale", 0),
@@ -108,13 +111,20 @@ def main():
             )
         except (RuntimeError, subprocess.TimeoutExpired) as e:
             log(f"headline attempt {attempt} failed: {e}")
+            tail = getattr(e, "stderr", None)
+            if tail:
+                if isinstance(tail, bytes):
+                    tail = tail.decode(errors="replace")
+                log(f"sub-bench stderr tail: {tail[-600:]!r}")
             continue
         res["_mapping"] = True
         log(
             f"headline attempt {attempt}: {_fps(res):.2f} fps "
             f"(track {res['track_ms_median']:.1f} ms, "
-            f"ba {res.get('local_ba_ms', 0.0):.1f} ms)"
+            f"ba {res.get('local_ba_ms', 0.0):.1f} ms"
+            f"{' COLD' if res.get('local_ba_cold') else ''})"
         )
+        log(f"sub-bench stderr tail: {res.pop('_stderr_tail', '')!r}")
         if best is None or _fps(res) > _fps(best):
             best = res
             _emit(best, extra)  # artifact exists from this moment on
@@ -133,6 +143,7 @@ def main():
                 f"tracking-only: {_fps(res2):.2f} fps "
                 f"(device-feed {res2.get('fps_device_feed', 0.0):.1f})"
             )
+            log(f"sub-bench stderr tail: {res2.pop('_stderr_tail', '')!r}")
             extra["fps_tracking_only"] = round(_fps(res2), 2)
             extra["fps_tracking_only_device_feed"] = round(
                 res2.get("fps_device_feed", 0.0), 2

@@ -79,8 +79,9 @@ def _warmer_main(conn, warm_caps, cam_tuple, platform):
         try:
             prob = _toy_problem(rng, P_=P_, L=L_, OL=OL_, cam=cam)
             state = _run_lm_jit(prob, cam, LMConfig(max_iters=8))
-            _chi2_jit(state, prob, cam, ba_cfg.chi2_line, ba_cfg.chi2_point)
-            np.asarray(state.cost)  # drain
+            inl = _chi2_jit(state, prob, cam, ba_cfg.chi2_line, ba_cfg.chi2_point)
+            np.asarray(state.cost)  # TRUE drains (block_until_ready returns
+            np.asarray(inl[0])  # at enqueue on axon — PERF_NOTES.md)
             # one "warmed" per bucket: clients can wait for just the first
             # (smallest, most-used) bucket instead of the full ladder
             conn.send(("warmed", -1, (P_, L_, OL_)))
@@ -129,6 +130,34 @@ def _worker_main(conn, cam_tuple, platform):
         if msg is None:
             return
         kind, req_id, payload = msg
+        if kind == "pretouch":
+            # load/compile a bucket's programs into THIS process's jit cache
+            # before timing-sensitive sections: the warmer process fills the
+            # persistent on-disk cache, but the solver's own first touch of a
+            # bucket still pays a multi-second trace + cache load — observed
+            # mid-run as a 5.5 s "cold" solve that skipped 5/6 BA windows
+            # (round-3 bench postmortem).
+            P_, L_, OL_, lm_cfg, chi2_line, chi2_point = payload
+            try:
+                from tpuslam.parallel.sharded_ba import _toy_problem
+
+                t0 = time.perf_counter()
+                prob = _toy_problem(
+                    np.random.default_rng(0), P_=P_, L=L_, OL=OL_, cam=cam
+                )
+                state = _run_lm_jit(prob, cam, lm_cfg)
+                inl = _chi2_jit(state, prob, cam, float(chi2_line), float(chi2_point))
+                np.asarray(state.cost)  # TRUE drains (axon block_until_ready
+                np.asarray(inl[0])  # returns at enqueue — PERF_NOTES.md)
+                prob_arrays = {f: np.asarray(getattr(prob, f)) for f in prob._fields}
+                seen.add(_bucket_key(prob_arrays, lm_cfg))
+                conn.send(
+                    ("ok", req_id,
+                     {"pretouch_ms": (time.perf_counter() - t0) * 1e3})
+                )
+            except Exception as e:
+                conn.send(("err", req_id, repr(e)))
+            continue
         if kind != "solve":
             continue
         prob_arrays, lm_cfg, chi2_line, chi2_point = payload
@@ -332,6 +361,35 @@ class BASolverWorker:
                 self._warm_count += 1
             elif kind == "warm_done":
                 break
+
+    @property
+    def warm_caps(self):
+        """The (P, L, OL) bucket rungs this worker's warmer compiles."""
+        return self._ctor[1]
+
+    def pretouch(self, bucket, lm_cfg, chi2_line: float, chi2_point: float,
+                 timeout: float = 300.0) -> Optional[float]:
+        """Blocking: make the SOLVER process load/compile the given (P, L,
+        OL) bucket's programs into its own jit cache (a toy solve, result
+        discarded). Call after `wait_warm` for each warmed bucket and before
+        timing: the warmer only fills the on-disk cache, and the solver's
+        first touch of a bucket otherwise pays a multi-second cache load
+        mid-run. Returns the pretouch wall ms (None on timeout/error)."""
+        self.wait_ready(timeout)
+        P_, L_, OL_ = bucket
+        self._next_id += 1
+        req_id = self._next_id
+        self._send_async(
+            ("pretouch", req_id,
+             (int(P_), int(L_), int(OL_), lm_cfg, float(chi2_line), float(chi2_point)))
+        )
+        out = self._recv_matching(req_id, timeout)
+        if out is None:
+            return None
+        kind, payload = out
+        if kind == "ok":
+            return float(payload.get("pretouch_ms", 0.0))
+        return None
 
     # ---- async API (the LocalMapper per-keyframe pipeline) ---------------
     def submit(self, prob_arrays: dict, lm_cfg, chi2_line: float, chi2_point: float) -> int:

@@ -53,41 +53,43 @@ def batched_ba(
 
 
 def _toy_problem(rng: np.random.Generator, P_: int, L: int, OL: int, cam: Intrinsics) -> BAProblem:
-    """A consistent tiny synthetic BA problem (noiseless observations)."""
+    """A consistent tiny synthetic BA problem (noiseless observations).
+
+    ALL geometry is batched into a handful of device calls: this fixture is
+    built inside the BA worker's warm/pretouch paths on the chip, where each
+    eager jnp op pays a ~0.35 s op-compile — the former per-observation
+    Python loop (OL eager plucker_transforms) made every bucket warm cost
+    ~90 s before the LM program even compiled."""
     from tpuslam.geometry.plucker import plucker_from_points, plucker_transform
     from tpuslam.geometry.camera import line_projection_matrix
     from tpuslam.geometry.se3 import se3_exp
 
-    poses = np.stack(
-        [
-            np.asarray(se3_exp(jnp.asarray(rng.normal(size=6) * 0.05, jnp.float32)))
-            for _ in range(P_)
-        ]
-    )
+    xi = (rng.normal(size=(P_, 6)) * 0.05).astype(np.float32)
+    poses = np.asarray(se3_exp(jnp.asarray(xi)))
     p = rng.normal(size=(L, 3)) * 2 + [0, 0, 8.0]
     q = p + rng.normal(size=(L, 3))
     Lw = np.asarray(plucker_from_points(jnp.asarray(p, jnp.float32), jnp.asarray(q, jnp.float32)))
     KL = np.asarray(line_projection_matrix(cam))
     l_pose = rng.integers(0, P_, OL).astype(np.int32)
     l_line = rng.integers(0, L, OL).astype(np.int32)
-    eps = np.zeros((OL, 2, 2), np.float32)
-    for o in range(OL):
-        T = poses[l_pose[o]]
-        Lc = np.asarray(plucker_transform(jnp.asarray(T), jnp.asarray(Lw[l_line[o]])))
-        l = KL @ Lc[:3]
-        # two pixel points on the projected line
-        d = np.array([-l[1], l[0]])
-        d = d / (np.linalg.norm(d) + 1e-9)
-        x0 = np.array([320.0, 240.0])
-        # project x0 onto the line: x = x0 - (l.[x0,1])/(a^2+b^2) * [a,b]
-        off = (l[0] * x0[0] + l[1] * x0[1] + l[2]) / (l[0] ** 2 + l[1] ** 2 + 1e-9)
-        base = x0 - off * l[:2]
-        eps[o, 0] = base + 30 * d
-        eps[o, 1] = base - 25 * d
-    perturbed = poses.copy()
-    for i in range(1, P_):
-        dT = np.asarray(se3_exp(jnp.asarray(rng.normal(size=6) * 0.01, jnp.float32)))
-        perturbed[i] = dT @ perturbed[i]
+    Lc = np.asarray(
+        plucker_transform(jnp.asarray(poses[l_pose]), jnp.asarray(Lw[l_line]))
+    )  # (OL, 6)
+    l = Lc[:, :3] @ KL.T  # (OL, 3) projected image lines
+    # two pixel points on each projected line
+    d = np.stack([-l[:, 1], l[:, 0]], axis=1)
+    d = d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-9)
+    x0 = np.array([320.0, 240.0])
+    # project x0 onto the line: x = x0 - (l.[x0,1])/(a^2+b^2) * [a,b]
+    off = (l[:, 0] * x0[0] + l[:, 1] * x0[1] + l[:, 2]) / (
+        l[:, 0] ** 2 + l[:, 1] ** 2 + 1e-9
+    )
+    base = x0[None, :] - off[:, None] * l[:, :2]
+    eps = np.stack([base + 30 * d, base - 25 * d], axis=1).astype(np.float32)
+    dxi = np.zeros((P_, 6), np.float32)
+    dxi[1:] = (rng.normal(size=(P_ - 1, 6)) * 0.01).astype(np.float32)
+    dT = np.asarray(se3_exp(jnp.asarray(dxi)))  # dT[0] = I: anchor unperturbed
+    perturbed = np.einsum("pij,pjk->pik", dT, poses).astype(np.float32)
     return BAProblem(
         poses=jnp.asarray(perturbed),
         pose_free=jnp.asarray((np.arange(P_) > 0).astype(np.float32)),

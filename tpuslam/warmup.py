@@ -252,7 +252,13 @@ def warmup_tracking(
 
     for name, thunk in steps:
         t0 = time.time()
-        jax.block_until_ready(thunk())
+        out = thunk()
+        # TRUE host sync: jax.block_until_ready returns at ENQUEUE on the
+        # axon backend (PERF_NOTES.md), so without an actual d2h resolve the
+        # warm compiles are still in flight when warmup "finishes" — the
+        # first real frame then absorbs the residual (measured: an 80 s
+        # stall on the first post-warmup resolve, probe_init.py)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
         log(f"warmup {name}: {time.time() - t0:.1f}s")
 
 
@@ -292,17 +298,19 @@ def warm_loop_programs(
             sims=eye, pose_free=free, e_i=e_i, e_j=e_j,
             e_meas=meas, e_valid=ones, e_weight=ones,
         )
-        jax.block_until_ready(optimize_pose_graph_sim3(prob, PoseGraphConfig()))
+        out = optimize_pose_graph_sim3(prob, PoseGraphConfig())
     else:
         prob = PoseGraphProblem(
             poses=eye, pose_free=free, e_i=e_i, e_j=e_j,
             e_meas=meas, e_valid=ones, e_weight=ones,
         )
-        jax.block_until_ready(optimize_pose_graph(prob, PoseGraphConfig()))
+        out = optimize_pose_graph(prob, PoseGraphConfig())
+    # TRUE host sync — block_until_ready returns at enqueue on axon
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
     log(f"warmup pose_graph({graph_P},{graph_E}): {time.time() - t0:.1f}s")
     t0 = time.time()
     C = refine_cap
-    jax.block_until_ready(
+    np.asarray(
         _refine_pose_jit(
             jnp.eye(4, dtype=jnp.float32),
             jnp.asarray(rng.standard_normal((C, 6)), jnp.float32),
