@@ -185,7 +185,7 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
     # pipelined ingest up to 2*chunk frames are still unresolved at loop end,
     # and fps_wall = frames / wall (BASELINE.md measurement rule) must count
     # their completion
-    sys_.tracker.flush_all()
+    sys_.trajectory.extend(sys_.tracker.flush_all())
     wall = time.perf_counter() - t_wall0
     track = sys_.timer.summary().get("track", {})
     lm = sys_.timer.summary().get("local_mapping", {})

@@ -146,8 +146,12 @@ class _ChunkFrameView:
     """Per-frame view into a chunked FusedFrameOut (pipeline.fused_stereo_
     chunk): presents the single-frame FusedFrameOut interface to the resolve
     machinery. `packed` rows come from ONE chunk-wide d2h (cached across the
-    chunk's views); feature/match slices dispatch a device gather only on
-    the frames that actually need them (KF creation, fallback paths)."""
+    chunk's views). Feature/match access materializes the WHOLE chunk to
+    NUMPY in one overlapped device_get (cached across the chunk's views) and
+    slices on the host: per-leaf-per-index eager device slicing costs a
+    ~0.35 s op-compile for EVERY (leaf, index) pair in a fresh process
+    (probe_chunk.py: 4.9 s + 2.1 s chunk cycles while the op cache filled),
+    and each eager dispatch is wire chatter on the serialized tunnel."""
 
     pfeats = None
     p_match_idx = None
@@ -157,7 +161,6 @@ class _ChunkFrameView:
         self._chunk = chunk_out
         self._i = i
         self._cache = packed_cache
-        self._feats = None
         self._midx = None
         self._inl = None
 
@@ -167,21 +170,26 @@ class _ChunkFrameView:
             self._cache["packed"] = np.asarray(self._chunk.packed)
         return self._cache["packed"][self._i]
 
+    def _np(self, field):
+        """Whole-chunk numpy materialization of a FusedFrameOut field, one
+        overlapped d2h per chunk (shared via the chunk-wide cache)."""
+        if field not in self._cache:
+            self._cache[field] = jax.device_get(getattr(self._chunk, field))
+        return self._cache[field]
+
     @property
     def feats(self):
-        if self._feats is None:
-            self._feats = jax.tree_util.tree_map(
-                lambda x: x[self._i], self._chunk.feats
-            )
-        return self._feats
+        return jax.tree_util.tree_map(
+            lambda x: x[self._i] if x is not None else None, self._np("feats")
+        )
 
     @property
     def match_idx(self):
-        return self._midx if self._midx is not None else self._chunk.match_idx[self._i]
+        return self._midx if self._midx is not None else self._np("match_idx")[self._i]
 
     @property
     def inlier(self):
-        return self._inl if self._inl is not None else self._chunk.inlier[self._i]
+        return self._inl if self._inl is not None else self._np("inlier")[self._i]
 
     def _replace(self, match_idx=None, inlier=None):
         if match_idx is not None:
@@ -601,7 +609,10 @@ class Tracker:
             self.T_cw = new_T
             saved = self.frame_idx
             self.frame_idx = fidx
-            if self._need_new_keyframe(n_inliers, out.feats, stereo=True):
+            # feats=None: _n_depth_cache was set from packed[18] above, so
+            # the KF policy never needs the feature arrays here — touching
+            # out.feats on a chunk view would materialize the whole chunk
+            if self._need_new_keyframe(n_inliers, None, stereo=True):
                 fine = TrackStepResult(
                     pose=new_T,
                     match_idx=out.match_idx,
@@ -1086,6 +1097,8 @@ class Tracker:
         if stereo:
             n_depth = getattr(self, "_n_depth_cache", None)
             if n_depth is None:
+                # feats may be None only when the cache is guaranteed set
+                # (fused resolve packs the depth count into packed[18])
                 n_depth = int(np.asarray(feats.has_depth).sum())
             self._n_depth_cache = None
             return weak or (
