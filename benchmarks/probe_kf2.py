@@ -70,7 +70,11 @@ def main():
         direct_stereo=DirectStereoParams(),
         frontend=FrontendParams(base_scale=0.5, prescaled=True),
     )
-    sys_ = System(cam, sensor="stereo", loop_closing=False, mapping=True, tracker_cfg=tcfg)
+    nomap = os.environ.get("TPUSLAM_PROBE_NOMAP", "0") == "1"
+    sys_ = System(
+        cam, sensor="stereo", loop_closing=False, mapping=not nomap,
+        tracker_cfg=tcfg,
+    )
     from tpuslam.warmup import warmup_tracking
 
     tc = sys_.tracker.cfg
@@ -105,6 +109,11 @@ def main():
         timed(mp, "_poll_ba")
         if mp.solver is not None:
             timed(mp.solver, "submit", "ba.submit")
+    if sys_.kf_db is not None:
+        timed(sys_.kf_db, "add", "kf_db.add")
+    if sys_.map is not None and getattr(sys_.map, "lines", None) is not None:
+        timed(sys_.map.lines, "add_observation", "lines.add_observation")
+        timed(sys_.map.lines, "allocate", "lines.allocate")
     import tpuslam.backend.mapping as mapping_mod
     timed_module(mapping_mod, "assemble_problem", "ba.assemble_problem")
     import tpuslam.frontend.tracking as tracking_mod
@@ -128,8 +137,11 @@ def main():
           f"max {np.max(dts):.1f}  sum {np.sum(dts):.0f} ms  flush {flush_ms:.0f} ms  "
           f"wall-fps {len(dts)/(wall/1e3):.1f}")
     print("slowest 8 calls:", np.sort(dts)[-8:].round(1))
-    print(f"keyframes: {len(sys_.map.keyframes)}  ba sub/skip: "
-          f"{mp.ba_submitted}/{mp.ba_skipped}  solve_ms {np.median(mp.solve_ms) if mp.solve_ms else -1:.0f}")
+    if mp is not None:
+        print(f"keyframes: {len(sys_.map.keyframes)}  ba sub/skip: "
+              f"{mp.ba_submitted}/{mp.ba_skipped}  solve_ms {np.median(mp.solve_ms) if mp.solve_ms else -1:.0f}")
+    else:
+        print(f"keyframes: {len(sys_.map.keyframes)}  (mapping off)")
     for k, v in sorted(acc.items(), key=lambda kv: -np.sum(kv[1])):
         v = np.array(v)
         print(f"{k:24s} n={len(v):3d} sum={np.sum(v):8.1f} ms median={np.median(v):7.1f} max={np.max(v):7.1f}")

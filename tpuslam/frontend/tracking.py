@@ -177,6 +177,20 @@ class _ChunkFrameView:
             self._cache[field] = jax.device_get(getattr(self._chunk, field))
         return self._cache[field]
 
+    def start_async(self):
+        """Kick the whole-chunk d2h of every field a deferred keyframe
+        finish will read, so the bytes ride the tunnel while further frames
+        keep tracking (the finish's device_get then finds them on host)."""
+        for field in ("feats", "match_idx", "inlier"):
+            if field in self._cache:
+                continue
+            for leaf in jax.tree_util.tree_leaves(getattr(self._chunk, field)):
+                if hasattr(leaf, "copy_to_host_async"):
+                    try:
+                        leaf.copy_to_host_async()
+                    except Exception:
+                        pass
+
     @property
     def feats(self):
         return jax.tree_util.tree_map(
@@ -240,6 +254,10 @@ class Tracker:
         self._dev_chain = None  # (T_last, T_prevlast) device arrays
         self._uploader = None
         self._chunk_buf: list = []  # host frames awaiting a full chunk
+        # deferred keyframe: the KF decision's d2h (features, matches,
+        # triangulation) rides the tunnel while 1-2 more frames track; the
+        # map insert happens at a later resolve (_finish_pending_kf)
+        self._pending_kf: Optional[dict] = None
 
     # ---- public API ----------------------------------------------------
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> Optional[FrameResult]:
@@ -551,6 +569,7 @@ class Tracker:
         """A resolve declared LOST: every still-in-flight fused frame tracked
         a poisoned pose chain — its track output is garbage. Complete each by
         relocalizing on its (pose-independent) extracted features, in order."""
+        self._finish_pending_kf()  # relocalization needs the map complete
         self._dev_chain = None
         q, self._fuse_queue = list(self._fuse_queue), deque()
         saved = self.frame_idx
@@ -573,6 +592,9 @@ class Tracker:
     def _resolve_fused_one(self):
         if not self._fuse_queue:
             return
+        if self._pending_kf is not None:
+            self._pending_kf["age"] += 1
+            self._finish_pending_kf(force=False)
         fidx, fts, out, lids, lvalid, plids, plvalid = self._fuse_queue.popleft()
         packed = np.asarray(out.packed)
         n_matches = int(packed[16])
@@ -585,6 +607,9 @@ class Tracker:
             p_match = (np.asarray(out.p_match_idx), np.asarray(out.p_inlier))
         made_kf = False
         if not accepted:
+            # a deferred keyframe must land before any fallback matches
+            # against the reference window / relocalizes against the map
+            self._finish_pending_kf()
             # TrackReferenceKeyFrame fallback on the already-extracted feats
             alt = self._track_reference_keyframe(out.feats)
             if alt is not None:
@@ -621,15 +646,26 @@ class Tracker:
                     num_inliers=n_inliers,
                 )
                 if hybrid:
-                    # KF creation binds points via _bind_point_landmarks,
-                    # which reads _cur_pfeats/_cur_p_match/_plocal_* — point
-                    # them at THIS frame's snapshot (2-frame result lag)
+                    # _kf_begin snapshots _cur_pfeats/_cur_p_match/_plocal_*
+                    # — point them at THIS frame's state (2-frame result lag)
                     self._cur_pfeats = out.pfeats
                     self._cur_p_match = p_match
                     if p_match is not None:
                         self._plocal_ids = plids
                         self._plocal_valid = plvalid
-                self._create_keyframe(out.feats, fts, fine, True, lids, lvalid)
+                # begin the keyframe but DON'T block on its d2h: the bytes
+                # ride the tunnel while 1-2 more frames track; the map insert
+                # happens at a later resolve (_finish_pending_kf)
+                self._finish_pending_kf()  # at most one KF in flight
+                if isinstance(out, _ChunkFrameView):
+                    out.start_async()
+                    rec = self._kf_begin(
+                        None, fts, fine, True, lids, lvalid,
+                        feats_thunk=lambda o=out: o.feats, defer_tri=True,
+                    )
+                else:
+                    rec = self._kf_begin(out.feats, fts, fine, True, lids, lvalid)
+                self._pending_kf = rec
                 made_kf = True
             self.frame_idx = saved
         else:
@@ -647,6 +683,7 @@ class Tracker:
 
     def _drain_fused(self):
         """Complete all in-flight fused frames (pipeline transition/flush)."""
+        self._finish_pending_kf()
         self._resolve_fused()
         if self._up_pending is not None:
             up, self._up_pending = self._up_pending, None
@@ -686,6 +723,7 @@ class Tracker:
                 self._completed.append(r)
             self.frame_idx = saved
             self._dev_chain = None  # host poses advanced past the device chain
+        self._finish_pending_kf()  # nothing may stay in flight past a drain
 
     # ---- pipelined mode --------------------------------------------------
     def _track_pipelined(self, feats: FrameFeatures, timestamp: float, stereo: bool):
@@ -965,23 +1003,37 @@ class Tracker:
             valid=jnp.asarray(valid),
         )
 
-    def _bind_point_landmarks(self, kf: KeyFrame, stereo: bool = True, pre=None):
+    def _bind_point_landmarks(
+        self,
+        kf: KeyFrame,
+        stereo: bool = True,
+        pre=None,
+        pf=None,
+        p_match=None,
+        plids=None,
+        plvalid=None,
+    ):
         """KF creation, point half: bind tracked point inliers and (stereo)
         create new landmarks from unmatched stereo-depth corners. Mono KFs
         bind tracked inliers only — new mono points come from two-view
         triangulation in the mapper (SURVEY §4.3 CreateNewMapPoints).
 
         `pre`: optional already-resolved (xyz, okf) stereo point
-        triangulation (resolved alongside everything else in
-        `_create_keyframe`'s single overlapped d2h)."""
-        pf = self._cur_pfeats
+        triangulation (resolved alongside everything else in the keyframe's
+        single overlapped d2h). The point-frontend state (`pf`, `p_match`,
+        `plids`, `plvalid`) defaults to the tracker's current-frame fields;
+        a deferred keyframe finish passes its begin-time snapshots instead."""
+        if pf is None:
+            pf = self._cur_pfeats
+            p_match = self._cur_p_match
+            plids, plvalid = self._plocal_ids, self._plocal_valid
         if pf is None or kf.point_ids is None:
             return
-        if self._cur_p_match is not None:
-            p_idx, p_inl = self._cur_p_match
+        if p_match is not None:
+            p_idx, p_inl = p_match
             for i in np.nonzero((p_inl > 0.5) & (p_idx >= 0))[0]:
-                pid = int(self._plocal_ids[i])
-                if self._plocal_valid[i] and self.map.points.alive[pid]:
+                pid = int(plids[i])
+                if plvalid[i] and self.map.points.alive[pid]:
                     slot = int(p_idx[i])
                     if kf.point_ids[slot] < 0:
                         self.map.points.add_observation(pid, kf, slot)
@@ -1115,18 +1167,89 @@ class Tracker:
         local_ids: np.ndarray | None = None,
         local_valid: np.ndarray | None = None,
     ):
+        """Synchronous keyframe creation (sync / classic-pipelined paths)."""
+        self._finish_pending_kf()  # keep map keyframes in frame order
+        rec = self._kf_begin(feats, timestamp, fine, stereo, local_ids, local_valid)
+        self._kf_finish(rec)
+
+    def _kf_begin(
+        self,
+        feats,
+        timestamp: float,
+        fine: TrackStepResult,
+        stereo: bool,
+        local_ids=None,
+        local_valid=None,
+        feats_thunk=None,
+        defer_tri: bool = False,
+    ) -> dict:
+        """Dispatch the keyframe's device work (stereo line + point
+        triangulation) and START the d2h of everything the host-side finish
+        needs — match arrays, feature structs, triangulations — without
+        waiting for any of it. Each serial resolve is a ~24-34 ms tunnel
+        round trip (probe_kf2.py); `_kf_finish` 1-2 frames later finds the
+        bytes already on host. `defer_tri=True` (chunked ingest, where
+        `feats` is a host-side chunk view) postpones the triangulation
+        dispatch to the finish."""
         if local_ids is None:
             local_ids = self._local_ids
             local_valid = self._local_valid
-        # Dispatch ALL keyframe device work first (line + point stereo
-        # triangulation), then resolve EVERYTHING the host needs — match
-        # arrays, the full feature structs, both triangulations — in ONE
-        # overlapped d2h. Each serial resolve is a ~24-34 ms tunnel round
-        # trip; the previous path paid ~5 of them per KF (probe_kf2.py).
         pf = self._cur_pfeats
         tri = ptri = None
-        if stereo:
+        if stereo and not defer_tri:
             T_wc = jnp.asarray(np.linalg.inv(self.T_cw))
+            tri = triangulate_stereo_lines(T_wc, feats, self.cam)
+            if pf is not None:
+                ptri = triangulate_stereo_points(T_wc, pf, self.cam)
+            for leaf in jax.tree_util.tree_leaves(
+                (fine.match_idx, fine.inlier, tuple(feats),
+                 None if pf is None else tuple(pf), tri, ptri)
+            ):
+                if hasattr(leaf, "copy_to_host_async"):
+                    try:
+                        leaf.copy_to_host_async()
+                    except Exception:
+                        pass
+        self.last_kf_frame = self.frame_idx  # gate the KF cadence immediately
+        return dict(
+            fidx=self.frame_idx,
+            ts=timestamp,
+            T_cw=self.T_cw.copy(),
+            stereo=stereo,
+            feats=feats,
+            feats_thunk=feats_thunk,
+            pf=pf,
+            fine=fine,
+            tri=tri,
+            ptri=ptri,
+            lids=np.asarray(local_ids).copy(),
+            lvalid=np.asarray(local_valid).copy(),
+            p_match=self._cur_p_match,
+            plids=np.asarray(self._plocal_ids).copy(),
+            plvalid=np.asarray(self._plocal_valid).copy(),
+            age=0,
+        )
+
+    def _finish_pending_kf(self, force: bool = True):
+        rec = self._pending_kf
+        if rec is None:
+            return
+        if not force and rec["age"] < 2:
+            return  # let the d2h ride the tunnel one more frame
+        self._pending_kf = None
+        self._kf_finish(rec)
+
+    def _kf_finish(self, rec: dict):
+        """Host half of keyframe creation: resolve the begin-time d2h, insert
+        the KeyFrame, bind observations, allocate new landmarks, update the
+        covisibility graph, and fire on_new_keyframe (mapper/loop closer)."""
+        feats = rec["feats"]
+        if feats is None:
+            feats = rec["feats_thunk"]()  # chunked path: whole-chunk view
+        pf, fine = rec["pf"], rec["fine"]
+        tri, ptri = rec["tri"], rec["ptri"]
+        if rec["stereo"] and tri is None:  # deferred (chunked) triangulation
+            T_wc = jnp.asarray(np.linalg.inv(rec["T_cw"]))
             tri = triangulate_stereo_lines(T_wc, feats, self.cam)
             if pf is not None:
                 ptri = triangulate_stereo_points(T_wc, pf, self.cam)
@@ -1138,24 +1261,29 @@ class Tracker:
         if pf_np is not None:
             pf_np = type(pf)(*[np.asarray(x) for x in pf_np])
         kf = self.map.new_keyframe(
-            self.frame_idx, timestamp, self.T_cw, feats_np,
+            rec["fidx"], rec["ts"], rec["T_cw"], feats_np,
             point_features=pf_np,
         )
         # bind tracked landmarks: local slot i -> frame slot fine.match_idx[i]
         match_idx = np.asarray(match_idx)
         inlier = np.asarray(inlier) > 0.5
+        lids, lvalid = rec["lids"], rec["lvalid"]
         for i in np.nonzero(inlier & (match_idx >= 0))[0]:
-            lid = int(local_ids[i])
-            if local_valid[i] and self.map.lines.alive[lid]:
+            lid = int(lids[i])
+            if lvalid[i] and self.map.lines.alive[lid]:
                 slot = int(match_idx[i])
                 if kf.line_ids[slot] < 0:
                     self.map.lines.add_observation(lid, kf, slot)
-        if stereo:
+        if rec["stereo"]:
             # create new landmarks from unmatched stereo-depth features
             plucker, ep3d, ok = tri
             ok = (np.asarray(ok) > 0.5) & (kf.line_ids < 0)
             self._bind_new_landmarks(kf, np.asarray(plucker), np.asarray(ep3d), ok)
-        self._bind_point_landmarks(kf, stereo=stereo, pre=ptri)
+        if pf is not None:  # explicit snapshots — never the CURRENT frame's
+            self._bind_point_landmarks(
+                kf, stereo=rec["stereo"], pre=ptri, pf=pf,
+                p_match=rec["p_match"], plids=rec["plids"], plvalid=rec["plvalid"],
+            )
         self.map.update_connections(kf)
         self.ref_kf = kf.kid
         self.ref_tracked = max(
@@ -1163,7 +1291,7 @@ class Tracker:
             + (int(np.sum(kf.point_ids >= 0)) if kf.point_ids is not None else 0),
             1,
         )
-        self.last_kf_frame = self.frame_idx
+        self.last_kf_frame = max(self.last_kf_frame, rec["fidx"])
         self._local_dirty = True
         self._plocal_dirty = True
         if self.on_new_keyframe:
