@@ -74,6 +74,17 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         tcfg.frontend = FrontendParams(base_scale=0.5, prescaled=prescaled)
     # chunked ingest: C frames per upload+dispatch (TrackerConfig.chunk)
     tcfg.chunk = int(os.environ.get("TPUSLAM_BENCH_CHUNK", "1"))
+    if (
+        tcfg.chunk > 1
+        and tcfg.direct_stereo is not None
+        and os.environ.get("TPUSLAM_BENCH_SEMIDIRECT", "1") == "1"
+    ):
+        # semi-direct chunks: full detection on the chunk's first frame
+        # only; followers are aligned photometrically against the line map
+        # (kernels/align_direct.py) — the detector amortizes over the chunk
+        from tpuslam.kernels.align_direct import DirectAlignParams
+
+        tcfg.semidirect = DirectAlignParams()
     # pin the BA bucket ladder to ONE rung that covers a bench-scale run:
     # every production solve then compiles exactly one program, the warmer
     # compiles exactly that program, and the solver pretouch makes the first
@@ -125,6 +136,7 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             local_capacity=tc.local_capacity,
             direct_stereo=tc.direct_stereo,
             chunk=tc.chunk,
+            semidirect=tc.semidirect,
             # the BA worker owns (and lazily warms) the LM programs in its
             # own process; compiling them here too would re-poison this one
             with_mapping=mapping and sys_._ba_worker is None,

@@ -290,6 +290,61 @@ def _fused_chunk_direct(
     return fl, depth, okf, midx, inlier, packed, T_l, T_p
 
 
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+def _fused_chunk_semidirect(
+    frames, T_last, T_prevlast,
+    lm_plucker, lm_ep3d, lm_bits, lm_validf,
+    fxb: float, cam: Intrinsics, fe: FrontendParams, sd, ap,
+    sc: ProjectionSearchParams, sf: ProjectionSearchParams,
+    po: PoseOptConfig, min_inliers: int,
+):
+    """Semi-direct chunk: FULL detection + matching + pose LM on the first
+    (anchor) frame only; the C-1 frames after it are tracked by direct
+    photometric alignment against the local 3D line map — anchor-image
+    templates slid perpendicular to each projected line, Gauss-Newton over
+    point-to-projected-line residuals (kernels/align_direct.py). ONE device
+    dispatch and ONE upload for the whole chunk.
+
+    `frames`: (C+1, H, W) u8/f32: [L0, R0, L1, ..., L_{C-1}] — the anchor's
+    stereo pair, then the following frames' LEFT images only (inter frames
+    need no depth: keyframes are only made from anchors, so the right-camera
+    bytes never cross the tunnel for them).
+
+    The anchor's cost (~10 ms detect+track at half-res VGA) amortizes over C
+    frames; each inter frame costs ~1-2 ms of gathers + GN. Inter packed
+    rows report (n_samples_good, n_lines_good, 0, accept) in the counter
+    slots — an aligned line is the acceptance-unit analog of a tracked
+    inlier line."""
+    from tpuslam.kernels.align_direct import align_frame_body, anchor_templates_body
+
+    if frames.dtype != jnp.float32:
+        frames = frames.astype(jnp.float32) / 255.0
+    fl, depth, okf, midx, inlier, packed0, T_acc, T_prev = _fused_frame_direct_body(
+        frames[:2], T_last, T_prevlast, lm_plucker, lm_ep3d, lm_bits, lm_validf,
+        fxb, cam, fe, sd, sc, sf, po, min_inliers,
+    )
+    A = ap.align_cap
+    plucker_a = lm_plucker[:A]
+    tm = anchor_templates_body(frames[0], T_acc, lm_ep3d[:A], lm_validf[:A], cam, ap)
+
+    def step(chain, img):
+        T_l, T_p = chain
+        T_pred = T_l @ se3_inverse(T_p) @ T_l
+        T_new, n_samp, n_lines = align_frame_body(img, T_pred, plucker_a, tm, cam, ap)
+        acceptf = (n_lines >= float(min_inliers)).astype(jnp.float32)
+        T_i = se3_orthonormalize(acceptf * T_new + (1.0 - acceptf) * T_pred)
+        T_p_next = acceptf * T_l + (1.0 - acceptf) * T_i
+        packed_i = jnp.concatenate(
+            [T_i.reshape(-1), n_samp[None], n_lines[None],
+             jnp.zeros((1,), jnp.float32), acceptf[None]]
+        )
+        return (T_i, T_p_next), packed_i
+
+    (T_l, T_p), packed_rest = jax.lax.scan(step, (T_acc, T_prev), frames[2:])
+    packed = jnp.concatenate([packed0[None], packed_rest], axis=0)
+    return fl, depth, okf, midx, inlier, packed, T_l, T_p
+
+
 def _track_core_hybrid_body(
     fl: FrameFeatures,
     l_depth,
@@ -596,6 +651,41 @@ def fused_stereo_chunk(
         pairs, T_last, T_prevlast,
         local["plucker"], local["ep3d"], local["bits"], local["valid"],
         float(fxb), cam, fe, sd, sc, sf, po, int(min_inliers),
+    )
+    feats = fl._replace(depth=depth, has_depth=okf)
+    return FusedFrameOut(
+        feats=feats,
+        match_idx=midx,
+        inlier=inlier,
+        packed=packed,
+        T_last=T_l,
+        T_prevlast=T_p,
+    )
+
+
+def fused_stereo_semidirect(
+    frames: jnp.ndarray,
+    T_last: jnp.ndarray,
+    T_prevlast: jnp.ndarray,
+    local: dict,
+    fxb: float,
+    cam: Intrinsics,
+    fe: FrontendParams,
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    po: PoseOptConfig,
+    min_inliers: int,
+    sd,
+    ap,
+) -> FusedFrameOut:
+    """Semi-direct chunk wrapper: anchor frame fully tracked, C-1 follower
+    frames aligned photometrically (see `_fused_chunk_semidirect`). The
+    returned FusedFrameOut carries the ANCHOR's single-frame features/match
+    arrays and a (C, 20) `packed` with one row per frame."""
+    fl, depth, okf, midx, inlier, packed, T_l, T_p = _fused_chunk_semidirect(
+        frames, T_last, T_prevlast,
+        local["plucker"], local["ep3d"], local["bits"], local["valid"],
+        float(fxb), cam, fe, sd, ap, sc, sf, po, int(min_inliers),
     )
     feats = fl._replace(depth=depth, has_depth=okf)
     return FusedFrameOut(

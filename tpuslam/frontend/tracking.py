@@ -52,6 +52,7 @@ from tpuslam.frontend.points import (
     triangulate_stereo_points,
 )
 from tpuslam.geometry.camera import Intrinsics
+from tpuslam.kernels.align_direct import DirectAlignParams, inject_coord_scale_align
 from tpuslam.kernels.stereo_direct import (
     DirectPointStereoParams,
     DirectStereoParams,
@@ -129,6 +130,12 @@ class TrackerConfig:
     # corner analog, used when `points` and `direct_stereo` are both set
     # (the fused hybrid pipeline and the direct sync path)
     direct_points: "DirectPointStereoParams" = None  # default-constructed lazily
+    # semi-direct chunk tracking (kernels/align_direct.py): full detection
+    # + matching + pose LM only on the FIRST frame of each chunk; the C-1
+    # frames after it are tracked by photometric template alignment against
+    # the local 3D line map (PL-SVO/moving-edges style). Needs chunk >= 2 and
+    # direct_stereo (lines-only). Keyframes are only made from anchor frames.
+    semidirect: Optional["DirectAlignParams"] = None
 
 
 @dataclass
@@ -204,6 +211,68 @@ class _ChunkFrameView:
     @property
     def inlier(self):
         return self._inl if self._inl is not None else self._np("inlier")[self._i]
+
+    def _replace(self, match_idx=None, inlier=None):
+        if match_idx is not None:
+            self._midx = match_idx
+        if inlier is not None:
+            self._inl = inlier
+        return self
+
+
+class _SemiFrameView:
+    """Per-frame view into a semi-direct chunk's FusedFrameOut.
+
+    The anchor (i == 0) exposes the chunk output's single-frame feature and
+    match arrays directly (they belong to it). Inter frames carry no device
+    features — only their `packed` row; the rare host paths that need
+    features for them (TrackReferenceKeyFrame fallback, relocalization,
+    weak-inlier keyframe promotion) lazily re-extract from the kept host
+    image pair through the tracker's sync front-end."""
+
+    pfeats = None
+    p_match_idx = None
+    p_inlier = None
+
+    def __init__(self, out, i: int, packed_cache: dict, tracker=None, host_pair=None):
+        self._out = out
+        self._i = i
+        self._cache = packed_cache
+        self._tracker = tracker
+        self._host_pair = host_pair  # (il, ir) numpy, inter frames only
+        self._midx = None
+        self._inl = None
+        self._feats = None
+
+    @property
+    def inter(self) -> bool:
+        return self._i > 0
+
+    @property
+    def packed(self) -> np.ndarray:
+        if "packed" not in self._cache:
+            self._cache["packed"] = np.asarray(self._out.packed)
+        return self._cache["packed"][self._i]
+
+    @property
+    def feats(self):
+        if self._i == 0:
+            return self._out.feats
+        if self._feats is None:
+            self._feats = self._tracker._stereo_features(*self._host_pair)
+        return self._feats
+
+    @property
+    def match_idx(self):
+        if self._midx is not None:
+            return self._midx
+        return self._out.match_idx if self._i == 0 else None
+
+    @property
+    def inlier(self):
+        if self._inl is not None:
+            return self._inl
+        return self._out.inlier if self._i == 0 else None
 
     def _replace(self, match_idx=None, inlier=None):
         if match_idx is not None:
@@ -372,6 +441,19 @@ class Tracker:
             return 1
         return max(1, int(self.cfg.chunk))
 
+    def _use_semidirect(self) -> bool:
+        return (
+            self.cfg.semidirect is not None
+            and self._chunk_size() > 1
+            and os.environ.get("TPUSLAM_SEMIDIRECT", "1") == "1"
+        )
+
+    def _align_params(self) -> DirectAlignParams:
+        fe = self.cfg.frontend
+        return inject_coord_scale_align(
+            self.cfg.semidirect, fe.base_scale, fe.prescaled
+        )
+
     def _track_stereo_fused(self, il, ir, timestamp: float) -> Optional[FrameResult]:
         from tpuslam.frontend.pipeline import AsyncUploader
 
@@ -409,20 +491,30 @@ class Tracker:
         buf, self._chunk_buf = self._chunk_buf, []
         idxs = [b[0] for b in buf]
         tss = [b[1] for b in buf]
-        pairs = np.ascontiguousarray(
-            np.stack([np.stack([b[2], b[3]]) for b in buf])
-        )
+        if self._use_semidirect():
+            # [L0, R0, L1, ..., L_{C-1}]: anchor pair + follower LEFT images
+            # (inter frames never make keyframes, so their right-camera
+            # bytes never cross the tunnel)
+            frames = np.ascontiguousarray(
+                np.stack([buf[0][2], buf[0][3]] + [b[2] for b in buf[1:]])
+            )
+            host_pairs = [(b[2], b[3]) for b in buf]
+        else:
+            frames = np.ascontiguousarray(
+                np.stack([np.stack([b[2], b[3]]) for b in buf])
+            )
+            host_pairs = None
         slot = []
 
         def _submit():
-            slot.append(self._uploader.submit(pairs))
+            slot.append(self._uploader.submit(frames))
 
         prev_up = self._up_pending
         if prev_up is not None:
             self._chunk_compute(prev_up, on_enqueued=_submit)
         if not slot:
             _submit()
-        self._up_pending = (idxs, tss, slot[0])
+        self._up_pending = (idxs, tss, slot[0], host_pairs)
         return self._completed.popleft() if self._completed else None
 
     def _chunk_compute(self, up, on_enqueued=None):
@@ -431,7 +523,9 @@ class Tracker:
         queue; then resolve everything older than the current chunk."""
         from tpuslam.frontend.pipeline import fused_stereo_chunk
 
-        idxs, tss, handle = up
+        if self._use_semidirect():
+            return self._semidirect_compute(up, on_enqueued=on_enqueued)
+        idxs, tss, handle = up[:3]
         (pairs_dev,) = handle.get()
         if self._dev_chain is None:
             T_last = np.asarray(self.T_cw, np.float32)
@@ -470,6 +564,63 @@ class Tracker:
         # resolve everything from PREVIOUS chunks (their d2h has been in
         # flight for a whole chunk); never the chunk just dispatched — its
         # packed resolve would block on the entire chunk's compute
+        while (
+            len(self._fuse_queue) > max(self._chunk_size(), self.cfg.fuse_lag)
+            and self.state == TrackingState.OK
+        ):
+            self._resolve_fused_one()
+        if self.state != TrackingState.OK:
+            self._relocalize_inflight()
+
+    def _semidirect_compute(self, up, on_enqueued=None):
+        """Enqueue the semi-direct chunk program for an uploaded
+        (C+1, H, W) frame stack (anchor pair + follower left images) and
+        queue one `_SemiFrameView` per frame; then resolve older chunks."""
+        from tpuslam.frontend.pipeline import fused_stereo_semidirect
+
+        idxs, tss, handle, host_pairs = up
+        (frames_dev,) = handle.get()
+        if self._dev_chain is None:
+            T_last = np.asarray(self.T_cw, np.float32)
+            vel_inv = np.linalg.inv(self.velocity).astype(np.float32)
+            self._dev_chain = (jnp.asarray(T_last), jnp.asarray(vel_inv @ T_last))
+        local = self._local_map_arrays()
+        lids_snap = self._local_ids.copy()
+        lvalid_snap = self._local_valid.copy()
+        out = fused_stereo_semidirect(
+            frames_dev,
+            self._dev_chain[0],
+            self._dev_chain[1],
+            local,
+            float(self.cam.fx * self.cam.baseline),
+            self.cam,
+            self.cfg.frontend,
+            self.cfg.search_coarse,
+            self.cfg.search_fine,
+            self.cfg.pose_opt,
+            self.cfg.min_track_inliers,
+            sd=self._direct_lines(),
+            ap=self._align_params(),
+        )
+        self._dev_chain = (out.T_last, out.T_prevlast)
+        try:
+            # only the packed rows ride eagerly: the anchor's feature/match
+            # arrays are needed only on KF events, and _kf_begin starts
+            # their d2h then (deferred finish rides it 1-2 resolves)
+            out.packed.copy_to_host_async()
+        except Exception:
+            pass
+        if on_enqueued is not None:
+            on_enqueued()  # next chunk's upload rides during this compute
+        cache: dict = {}
+        for i, (fidx, fts) in enumerate(zip(idxs, tss)):
+            view = _SemiFrameView(
+                out, i, cache, tracker=self,
+                host_pair=None if i == 0 else host_pairs[i],
+            )
+            self._fuse_queue.append(
+                (fidx, fts, view, lids_snap, lvalid_snap, None, None)
+            )
         while (
             len(self._fuse_queue) > max(self._chunk_size(), self.cfg.fuse_lag)
             and self.state == TrackingState.OK
@@ -636,8 +787,13 @@ class Tracker:
             self.frame_idx = fidx
             # feats=None: _n_depth_cache was set from packed[18] above, so
             # the KF policy never needs the feature arrays here — touching
-            # out.feats on a chunk view would materialize the whole chunk
-            if self._need_new_keyframe(n_inliers, None, stereo=True):
+            # out.feats on a chunk view would materialize the whole chunk.
+            # Semi-direct INTER frames never become keyframes (they carry no
+            # detected features or depths; the next anchor, at most C-1
+            # frames away, takes the decision instead)
+            if not getattr(out, "inter", False) and self._need_new_keyframe(
+                n_inliers, None, stereo=True
+            ):
                 fine = TrackStepResult(
                     pose=new_T,
                     match_idx=out.match_idx,
@@ -696,14 +852,24 @@ class Tracker:
                 self._resolve_fused()
             else:
                 # chain is poisoned (LOST): extract only, then relocalize
-                pidx, pts, handle = up
-                (pair_dev,) = handle.get()
-                pair_h = np.asarray(pair_dev)
-                if not chunked:
-                    pair_h, pidx, pts = pair_h[None], [pidx], [pts]
+                pidx, pts, handle = up[:3]
+                host_pairs = up[3] if len(up) > 3 else None
+                if host_pairs is not None:
+                    # semi-direct chunk: the upload holds left-only follower
+                    # frames — use the kept host image pairs instead
+                    handle.get()  # drain the uploader thread
+                    pairs = host_pairs
+                else:
+                    (pair_dev,) = handle.get()
+                    pair_h = np.asarray(pair_dev)
+                    if not chunked:
+                        pair_h, pidx, pts = pair_h[None], [pidx], [pts]
+                    pairs = [
+                        (pair_h[i, 0], pair_h[i, 1]) for i in range(pair_h.shape[0])
+                    ]
                 saved = self.frame_idx
-                for i in range(pair_h.shape[0]):
-                    feats = self._stereo_features(pair_h[i, 0], pair_h[i, 1])
+                for i, (il_, ir_) in enumerate(pairs):
+                    feats = self._stereo_features(il_, ir_)
                     self.frame_idx = pidx[i]
                     r = self._track_frame_sync(feats, pts[i], stereo=True, relocalize=True)
                     self._completed.append(r)

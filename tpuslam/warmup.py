@@ -67,6 +67,35 @@ def __fused_chunk_warm(cam, fe, sc, sf, oc, NL, rng, chunk, sd):
     ).packed
 
 
+def __fused_semidirect_warm(cam, fe, sc, sf, oc, NL, rng, chunk, sd, ap):
+    import jax.numpy as jnp
+
+    from tpuslam.frontend.frame import prescaled_shape
+    from tpuslam.frontend.pipeline import fused_stereo_semidirect
+
+    H, W = prescaled_shape(cam.height, cam.width, fe)
+    frames = (rng.random((chunk + 1, H, W)) * 255).astype(np.uint8)
+    T = jnp.eye(4, dtype=jnp.float32)
+    local = dict(
+        plucker=jnp.asarray(rng.standard_normal((NL, 6)), jnp.float32),
+        ep3d=jnp.asarray(rng.standard_normal((NL, 2, 3)) + [0, 0, 6.0], jnp.float32),
+        bits=jnp.asarray(rng.integers(0, 2**31, (NL, 8)), jnp.uint32),
+        valid=jnp.ones(NL, jnp.float32),
+    )
+    return fused_stereo_semidirect(
+        jnp.asarray(frames), T, T, local, cam.fx * cam.baseline,
+        cam, fe, sc, sf, oc, 8, sd=sd, ap=ap,
+    ).packed
+
+
+def __inject_align(ap, fe):
+    """Mirror the Tracker's dispatch-time coord_scale injection so the
+    warmed semi-direct program IS the production program."""
+    from tpuslam.kernels.align_direct import inject_coord_scale_align
+
+    return inject_coord_scale_align(ap, fe.base_scale, fe.prescaled)
+
+
 def __direct_stereo_warm(cam, fe, sd, rng):
     from tpuslam.frontend.frame import prescaled_shape
     from tpuslam.kernels.stereo_direct import direct_line_disparity
@@ -90,6 +119,7 @@ def warmup_tracking(
     local_capacity: int = 1024,
     direct_stereo=None,
     chunk: int = 1,
+    semidirect=None,  # DirectAlignParams: warm the semi-direct chunk program
     with_mapping: bool = True,
     ba_caps=((8, 128, 512), (16, 256, 1024), (24, 512, 2048), (24, 1024, 4096)),
     fuse_search=None,  # MapperConfig.fuse_search: warm the mapper's in-
@@ -209,7 +239,19 @@ def warmup_tracking(
                     cam, fe, sc, sf, oc, NL, rng, chunk, direct_stereo
                 ),
             )]
-            if chunk > 1 and direct_stereo is not None
+            if chunk > 1 and direct_stereo is not None and semidirect is None
+            else []
+        ),
+        # the semi-direct chunk program (anchor + aligned followers)
+        *(
+            [(
+                f"fused_semidirect_{chunk}",
+                lambda: __fused_semidirect_warm(
+                    cam, fe, sc, sf, oc, NL, rng, chunk, direct_stereo,
+                    __inject_align(semidirect, fe),
+                ),
+            )]
+            if chunk > 1 and direct_stereo is not None and semidirect is not None
             else []
         ),
     ]
