@@ -65,6 +65,17 @@ class MapperConfig:
     kf_cull_redundancy: float = 0.9  # cull KF if this fraction of its
     kf_cull_min_obs: int = 3  # landmarks is seen by >= this many other KFs
     enable_kf_culling: bool = True
+    # defer the duplicate-fusion APPLY to the next keyframe event: the fuse
+    # searches dispatch at this KF (their device work overlaps the tracking
+    # stream) but the blocking d2h of the match results — a ~24-34 ms tunnel
+    # round trip paid inline on the KF frame — moves off the critical path;
+    # by the next KF the bytes are host-resident. Same staleness class as
+    # the async BA (the reference's mapping-thread semantics). finish()
+    # drains, so end-of-run map state is identical. Default OFF: the one-KF
+    # fusion delay measurably costs trajectory quality on short sequences
+    # (test_fused_direct_stereo ATE 0.030 -> 0.037); enable it where the
+    # tunnel RTT matters more than the marginal ATE (the chip bench).
+    fuse_defer: bool = False
 
 
 class LocalMapper:
@@ -100,12 +111,16 @@ class LocalMapper:
 
     def process(self, kf: KeyFrame):
         self._kf_count += 1
+        self._apply_pending_fuse()
         self._register_recent(kf)
         self._cull_recent(kf)
         if self.mono:
             self._create_new_maplines(kf)
             self._create_new_mappoints(kf)
-        self._fuse_all(kf)
+        if self.cfg.fuse_defer:
+            self._dispatch_fuse_deferred(kf)
+        else:
+            self._fuse_all(kf)
         self.map.update_connections(kf)
         if self._kf_count % self.cfg.ba_every == 0 and len(self.map.keyframes) >= 2:
             if self.solver is not None:
@@ -187,8 +202,54 @@ class LocalMapper:
             self.on_map_changed()
 
     def finish(self):
-        """Drain the in-flight async solve (sequence end / shutdown)."""
+        """Drain the in-flight async solve + fusion (sequence end/shutdown)."""
+        self._apply_pending_fuse()
         self._poll_ba(blocking=True)
+
+    # ---- deferred duplicate fusion ---------------------------------------
+    def _dispatch_fuse_deferred(self, kf: KeyFrame):
+        """Dispatch the fusion searches and START their d2h; the apply (and
+        its blocking resolve) runs at the next keyframe event."""
+        import jax
+
+        ld = self._fuse_lines_dispatch(kf)
+        pd = self._fuse_points_dispatch(kf)
+        if ld is None and pd is None:
+            return
+        for d in (ld, pd):
+            if d is None:
+                continue
+            for leaf in (d[0].valid, d[0].idx):
+                if hasattr(leaf, "copy_to_host_async"):
+                    try:
+                        leaf.copy_to_host_async()
+                    except Exception:
+                        pass
+        self._fuse_pending = (kf, ld, pd, self.map.generation)
+
+    def _apply_pending_fuse(self):
+        pending = getattr(self, "_fuse_pending", None)
+        if pending is None:
+            return
+        import jax
+
+        self._fuse_pending = None
+        kf, ld, pd, gen = pending
+        if kf.kid not in self.map.keyframes or kf.is_bad:
+            return  # culled while the fusion was in flight
+        if gen != self.map.generation:
+            return  # loop-corrected mid-flight: matches were pose-stale
+        lres, pres = jax.device_get(
+            (None if ld is None else (ld[0].valid, ld[0].idx),
+             None if pd is None else (pd[0].valid, pd[0].idx))
+        )
+        if ld is not None:
+            self._fuse_lines_apply(kf, ld[1], *lres)
+        if pd is not None:
+            self._fuse_points_apply(kf, pd[1], *pres)
+        self.map.update_connections(kf)
+        if self.on_map_changed:
+            self.on_map_changed()
 
     # ---- landmark culling ----------------------------------------------
     def _register_recent(self, kf: KeyFrame):
@@ -477,12 +538,16 @@ class LocalMapper:
         ids[:n] = old_ids
         validf = np.zeros(cap, np.float32)
         validf[:n] = 1.0
+        # reuse the keyframe's device-resident features when the tracker
+        # stashed them (saves re-uploading ~50 KB the device already holds)
+        feats_dev = kf.dev_features
+        kf.dev_features = None
         m = search_by_projection(
             jnp.asarray(kf.T_cw),
             jnp.asarray(st.endpoints[ids]),
             jnp.asarray(st.desc_bits[ids]),
             jnp.asarray(validf),
-            _features_as_jnp(kf.features),
+            feats_dev if feats_dev is not None else _features_as_jnp(kf.features),
             self.cam,
             self.cfg.fuse_search,
         )
@@ -505,6 +570,10 @@ class LocalMapper:
         pf = kf.point_features
         if pf is None or kf.point_ids is None:
             return None
+        pf_dev = kf.dev_point_features
+        kf.dev_point_features = None
+        if pf_dev is not None:
+            pf = pf_dev  # device-resident corners: skip the re-upload
         pst = self.map.points
         neighbors = self.map.covisible_keyframes(kf.kid, 5)
         old_ids = sorted(

@@ -1400,8 +1400,15 @@ class Tracker:
         rec = self._pending_kf
         if rec is None:
             return
-        if not force and rec["age"] < 2:
-            return  # let the d2h ride the tunnel one more frame
+        # semi-direct chunks resolve C frames back-to-back in one host loop,
+        # so a 2-resolve age is reached microseconds after the KF's d2h
+        # started and the finish would block on the transfer inline; require
+        # a full chunk of resolves + 1 (i.e. the NEXT chunk's loop) so the
+        # bytes get a whole chunk of wall time on the tunnel. Other modes
+        # keep the 2-resolve (= 2-frame) deferral (probe_direct lag sweep).
+        need = self._chunk_size() + 1 if self._use_semidirect() else 2
+        if not force and rec["age"] < need:
+            return  # let the d2h ride the tunnel a little longer
         self._pending_kf = None
         self._kf_finish(rec)
 
@@ -1430,6 +1437,13 @@ class Tracker:
             rec["fidx"], rec["ts"], rec["T_cw"], feats_np,
             point_features=pf_np,
         )
+        # hand the mapper the device-resident feature structs (its fusion
+        # dispatch otherwise re-uploads ~50 KB the device already holds);
+        # chunk views resolve to numpy, so gate on an actual device leaf
+        if hasattr(getattr(feats, "endpoints", None), "copy_to_host_async"):
+            kf.dev_features = feats
+        if pf is not None and hasattr(getattr(pf, "uv", None), "copy_to_host_async"):
+            kf.dev_point_features = pf
         # bind tracked landmarks: local slot i -> frame slot fine.match_idx[i]
         match_idx = np.asarray(match_idx)
         inlier = np.asarray(inlier) > 0.5

@@ -58,6 +58,13 @@ class KeyFrame:
     # point front-end is enabled; None keeps line-only maps lightweight
     point_features: Optional[object] = None  # kernels.fast.PointFeatures (np)
     point_ids: Optional[np.ndarray] = None  # (KP,) int32 slot -> MapPoint id
+    # transient DEVICE-resident copies of the feature structs (never
+    # serialized): set at creation when the caller handed device arrays,
+    # consumed by the mapper's duplicate-fusion dispatch on the same
+    # keyframe event — saves re-uploading ~50 KB of features the device
+    # already holds. Only the newest keyframe keeps them (see new_keyframe).
+    dev_features: Optional[object] = None
+    dev_point_features: Optional[object] = None
 
     @property
     def T_wc(self) -> np.ndarray:
@@ -248,6 +255,20 @@ class SlamMap:
             )
             kf.point_features = pf
             kf.point_ids = np.full(pf.valid.shape[0], -1, np.int32)
+        # stash the device-resident structs for the mapper's fusion dispatch
+        # on this keyframe event; only the newest KF keeps them (bounded
+        # device memory even when no mapper consumes them)
+        if hasattr(getattr(features, "endpoints", None), "copy_to_host_async"):
+            kf.dev_features = features
+        if point_features is not None and hasattr(
+            getattr(point_features, "uv", None), "copy_to_host_async"
+        ):
+            kf.dev_point_features = point_features
+        prev = getattr(self, "_last_dev_kf", None)
+        if prev is not None:
+            prev.dev_features = None
+            prev.dev_point_features = None
+        self._last_dev_kf = kf
         self._next_kid += 1
         self.keyframes[kf.kid] = kf
         self.covis[kf.kid] = {}
