@@ -55,15 +55,62 @@ def run(mapping: bool, C: int, imgs, cam, n_warm=24):
         direct_stereo=DirectStereoParams(),
         semidirect=DirectAlignParams(),
     )
+    if os.environ.get("PROBE_FUSE_DEFER", "0") == "1" and mapping:
+        from tpuslam.backend.mapping import MapperConfig
+
+        mcfg = MapperConfig(fuse_defer=True)
+    else:
+        mcfg = None
     sys_ = System(cam, sensor="stereo", loop_closing=False, mapping=mapping,
-                  tracker_cfg=tcfg)
+                  tracker_cfg=tcfg, mapper_cfg=mcfg)
+    if os.environ.get("PROBE_WARMUP", "1") == "1":
+        from tpuslam.warmup import warmup_tracking
+
+        tc = sys_.tracker.cfg
+        warmup_tracking(
+            cam,
+            frontend_params=tc.frontend,
+            stereo_params=tc.stereo,
+            search_params=(tc.search_coarse, tc.search_fine),
+            pose_opt_cfg=tc.pose_opt,
+            local_capacity=tc.local_capacity,
+            direct_stereo=tc.direct_stereo,
+            chunk=tc.chunk,
+            semidirect=tc.semidirect,
+            with_mapping=False,
+            fuse_search=sys_.mapper.cfg.fuse_search if sys_.mapper else None,
+            log=log,
+        )
     tr = sys_.tracker
     for name in ("_semidirect_compute", "_resolve_fused_one", "_kf_begin",
                  "_kf_finish", "_local_map_arrays", "_stereo_features",
                  "_track_reference_keyframe"):
         wrap(tr, name)
     if sys_.mapper is not None:
-        wrap(sys_.mapper, "process")
+        for name in dir(type(sys_.mapper)):
+            if name.startswith("__"):
+                continue
+            if callable(getattr(type(sys_.mapper), name, None)):
+                wrap(sys_.mapper, name)
+        if sys_.mapper.solver is not None:
+            for name in ("submit", "poll", "pretouch"):
+                if hasattr(sys_.mapper.solver, name):
+                    wrap(sys_.mapper.solver, name)
+        import tpuslam.backend.mapping as _mapping_mod
+        import tpuslam.backend.local_ba as _lba_mod
+
+        fn_asm = _lba_mod.assemble_problem
+
+        def asm_timed(*a, **k):
+            t0 = time.perf_counter()
+            r = fn_asm(*a, **k)
+            e = acc["assemble_problem"]
+            e[0] += time.perf_counter() - t0
+            e[1] += 1
+            return r
+
+        _mapping_mod.assemble_problem = asm_timed
+        wrap(sys_.map, "update_connections")
     n = len(imgs)
     t_steady = None
     for f in range(n):

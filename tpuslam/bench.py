@@ -72,8 +72,12 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
 
         prescaled = os.environ.get("TPUSLAM_BENCH_HOSTSCALE", "1") == "1"
         tcfg.frontend = FrontendParams(base_scale=0.5, prescaled=prescaled)
-    # chunked ingest: C frames per upload+dispatch (TrackerConfig.chunk)
-    tcfg.chunk = int(os.environ.get("TPUSLAM_BENCH_CHUNK", "1"))
+    # chunked ingest: C frames per upload+dispatch (TrackerConfig.chunk).
+    # Default 6 = the measured sweet spot of the semi-direct sweep (chip,
+    # 2026-08-19): C=4 37.4 fps / ATE 0.017, C=6 72.5 fps / ATE 0.021,
+    # C=8 56.2 fps / ATE 0.043 (longer aligned stretches + staler map
+    # snapshots cost accuracy faster than the amortization pays).
+    tcfg.chunk = int(os.environ.get("TPUSLAM_BENCH_CHUNK", "6"))
     if (
         tcfg.chunk > 1
         and tcfg.direct_stereo is not None

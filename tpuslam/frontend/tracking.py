@@ -325,8 +325,10 @@ class Tracker:
         self._chunk_buf: list = []  # host frames awaiting a full chunk
         # deferred keyframe: the KF decision's d2h (features, matches,
         # triangulation) rides the tunnel while 1-2 more frames track; the
-        # map insert happens at a later resolve (_finish_pending_kf)
+        # map insert happens at a later resolve (_finish_pending_kf) once
+        # the transfer has had _kf_defer_s of wall time
         self._pending_kf: Optional[dict] = None
+        self._kf_defer_s = float(os.environ.get("TPUSLAM_KF_DEFER_MS", "40")) / 1e3
 
     # ---- public API ----------------------------------------------------
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, timestamp: float) -> Optional[FrameResult]:
@@ -527,6 +529,10 @@ class Tracker:
             return self._semidirect_compute(up, on_enqueued=on_enqueued)
         idxs, tss, handle = up[:3]
         (pairs_dev,) = handle.get()
+        # a pending keyframe whose d2h has had enough wall time lands NOW,
+        # before the local-map snapshot: the chunk dispatched below then
+        # matches against the newest map (one chunk less staleness)
+        self._finish_pending_kf(force=False)
         if self._dev_chain is None:
             T_last = np.asarray(self.T_cw, np.float32)
             vel_inv = np.linalg.inv(self.velocity).astype(np.float32)
@@ -580,6 +586,7 @@ class Tracker:
 
         idxs, tss, handle, host_pairs = up
         (frames_dev,) = handle.get()
+        self._finish_pending_kf(force=False)  # newest map before the snapshot
         if self._dev_chain is None:
             T_last = np.asarray(self.T_cw, np.float32)
             vel_inv = np.linalg.inv(self.velocity).astype(np.float32)
@@ -639,6 +646,7 @@ class Tracker:
 
         pidx, pts, handle = up
         (pair_dev,) = handle.get()
+        self._finish_pending_kf(force=False)  # newest map before the snapshot
         if self._dev_chain is None:
             T_last = np.asarray(self.T_cw, np.float32)
             vel_inv = np.linalg.inv(self.velocity).astype(np.float32)
@@ -744,7 +752,6 @@ class Tracker:
         if not self._fuse_queue:
             return
         if self._pending_kf is not None:
-            self._pending_kf["age"] += 1
             self._finish_pending_kf(force=False)
         fidx, fts, out, lids, lvalid, plids, plvalid = self._fuse_queue.popleft()
         packed = np.asarray(out.packed)
@@ -1377,7 +1384,10 @@ class Tracker:
                     except Exception:
                         pass
         self.last_kf_frame = self.frame_idx  # gate the KF cadence immediately
+        import time as _time
+
         return dict(
+            t_begin=_time.perf_counter(),
             fidx=self.frame_idx,
             ts=timestamp,
             T_cw=self.T_cw.copy(),
@@ -1393,22 +1403,24 @@ class Tracker:
             p_match=self._cur_p_match,
             plids=np.asarray(self._plocal_ids).copy(),
             plvalid=np.asarray(self._plocal_valid).copy(),
-            age=0,
         )
 
     def _finish_pending_kf(self, force: bool = True):
         rec = self._pending_kf
         if rec is None:
             return
-        # semi-direct chunks resolve C frames back-to-back in one host loop,
-        # so a 2-resolve age is reached microseconds after the KF's d2h
-        # started and the finish would block on the transfer inline; require
-        # a full chunk of resolves + 1 (i.e. the NEXT chunk's loop) so the
-        # bytes get a whole chunk of wall time on the tunnel. Other modes
-        # keep the 2-resolve (= 2-frame) deferral (probe_direct lag sweep).
-        need = self._chunk_size() + 1 if self._use_semidirect() else 2
-        if not force and rec["age"] < need:
-            return  # let the d2h ride the tunnel a little longer
+        if not force:
+            # time-based deferral: the begin-time d2h needs ~RTT + transfer
+            # (~35 ms on the tunnel) before a resolve stops blocking. Resolve
+            # counts are a bad clock — chunked modes run C resolves back to
+            # back in one host loop microseconds apart. Checking at each
+            # compute/resolve event, the first one past the deadline
+            # finishes; CPU runs (tests) pass the deadline within a frame,
+            # so map-insert timing there matches the synchronous path.
+            import time as _time
+
+            if (_time.perf_counter() - rec["t_begin"]) < self._kf_defer_s:
+                return  # let the d2h ride the tunnel a little longer
         self._pending_kf = None
         self._kf_finish(rec)
 
