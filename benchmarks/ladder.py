@@ -133,10 +133,19 @@ def mono_sequence(points: bool, n=30):
     )
 
 
-def mono_loop(n=80):
-    """Mono Sim(3) loop row: circular revisit, loop closing ON."""
+def mono_loop(n=80, dwell=16):
+    """Mono Sim(3) loop row: circular revisit, loop closing ON.
+
+    The circle completes at frame n; without dwell the revisit lasts ~1
+    frame and the closer's temporal-consistency gate can never fire inside
+    the sequence (measured: loops_closed=0 on chip AND CPU). Re-rendering
+    the first `dwell` poses after the circle gives the detection a real
+    revisit window — the reference-class fixtures (KITTI 00) revisit for
+    hundreds of frames."""
     rng = np.random.default_rng(7)
     scene = make_loop_scene(rng, n_segments=260, n_frames=n, radius=5.0, room=14.0, cam=CAM)
+    scene = scene._replace(poses=np.concatenate([scene.poses, scene.poses[:dwell]]))
+    n = n + dwell
     frames = [
         render_wireframe_image(scene, f, noise=1.0, rng=rng, draw_points=True)
         for f in range(n)

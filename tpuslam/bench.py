@@ -147,6 +147,9 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             # the mapper's duplicate-fusion search runs in THIS process on
             # every keyframe regardless of where the BA solve runs
             fuse_search=sys_.mapper.cfg.fuse_search if sys_.mapper else None,
+            # bounded: one degraded-service compile must not eat the whole
+            # bench attempt (observed: 397 s for the FIRST tiny warm step)
+            budget_s=float(os.environ.get("TPUSLAM_BENCH_WARMUP_S", "400")),
             log=log,
         )
     if mapping and sys_._ba_worker is not None:
@@ -164,7 +167,7 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         # the timeout and proceeds (warmup keeps going in the background).
         log("bench: pretouching BA solver buckets...")
         worker = sys_._ba_worker
-        budget = float(os.environ.get("TPUSLAM_BENCH_BA_WARM_S", "420"))
+        budget = float(os.environ.get("TPUSLAM_BENCH_BA_WARM_S", "280"))
         t0 = time.perf_counter()
         ba_cfg = sys_.mapper.cfg.ba
         # pretouch = a toy solve of each rung INSIDE the solver process: the
@@ -286,6 +289,53 @@ def _device_feed_fps(sys_, imgs, log, n=40):
         T_last = np.asarray(tr.T_cw, np.float32)
         vel_inv = np.linalg.inv(tr.velocity).astype(np.float32)
         chain = (jnp.asarray(T_last), jnp.asarray(vel_inv @ T_last))
+    local = tr._local_map_arrays()
+    from collections import deque
+
+    pend = deque()
+    if tr._use_semidirect():
+        # measure the production chunk program: anchor pair + follower
+        # left images, C frames per dispatch (fps counts frames, not calls)
+        from tpuslam.frontend.pipeline import fused_stereo_semidirect
+
+        C = tr._chunk_size()
+        fe = tr.cfg.frontend
+
+        def stack(i):
+            il0, ir0 = imgs[i % len(imgs)]
+            fr = [host_prescale(il0, fe), host_prescale(ir0, fe)]
+            fr += [host_prescale(imgs[(i + j) % len(imgs)][0], fe) for j in range(1, C)]
+            return jnp.asarray(np.ascontiguousarray(np.stack(fr)))
+
+        stacks = [stack(i * C) for i in range(6)]
+        np.asarray(stacks[-1][0, :1, :1])  # drain uploads
+        args = (
+            local, float(tr.cam.fx * tr.cam.baseline), tr.cam, fe,
+            tr.cfg.search_coarse, tr.cfg.search_fine, tr.cfg.pose_opt,
+            tr.cfg.min_track_inliers,
+        )
+        kw = dict(sd=tr._direct_lines(), ap=tr._align_params())
+        out = fused_stereo_semidirect(stacks[0], chain[0], chain[1], *args, **kw)
+        np.asarray(out.packed)
+        n_chunks = max(4, n // C)
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            out = fused_stereo_semidirect(
+                stacks[i % 6], chain[0], chain[1], *args, **kw
+            )
+            chain = (out.T_last, out.T_prevlast)
+            try:
+                out.packed.copy_to_host_async()
+            except Exception:
+                pass
+            pend.append(out)
+            if len(pend) > 2:
+                np.asarray(pend.popleft().packed)
+        while pend:
+            np.asarray(pend.popleft().packed)
+        dt = (time.perf_counter() - t0) / (n_chunks * C)
+        log(f"bench: device-feed {1.0/dt:.1f} fps ({dt*1e3:.2f} ms/frame, chunked x{C})")
+        return 1.0 / dt
     pairs = [
         jnp.asarray(
             np.stack([host_prescale(im, tr.cfg.frontend) for im in imgs[i % len(imgs)]])
@@ -293,7 +343,6 @@ def _device_feed_fps(sys_, imgs, log, n=40):
         for i in range(8)
     ]
     np.asarray(pairs[-1][0, :1, :1])  # drain uploads
-    local = tr._local_map_arrays()
     args = (
         float(tr.cam.fx * tr.cam.baseline), tr.cam, tr.cfg.frontend, tr.cfg.stereo,
         tr.cfg.search_coarse, tr.cfg.search_fine, tr.cfg.pose_opt,
@@ -303,9 +352,6 @@ def _device_feed_fps(sys_, imgs, log, n=40):
         pairs[0], chain[0], chain[1], local, *args, sd=tr._direct_lines()
     )
     np.asarray(out.packed)
-    from collections import deque
-
-    pend = deque()
     t0 = time.perf_counter()
     for i in range(n):
         out = fused_stereo_frame(

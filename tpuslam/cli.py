@@ -38,7 +38,23 @@ def cmd_run(args):
     seq = _load_sequence(args)
     stereo = seq.cam.baseline > 0 and not args.mono
     tracker_cfg = None
-    if args.pipelined:
+    if args.fast and stereo:
+        # the bench fast path: prescaled half-res ingest, direct epipolar
+        # stereo (left-only detection), semi-direct chunks (full detection
+        # on anchors only, photometric alignment between)
+        from tpuslam.frontend.frame import FrontendParams
+        from tpuslam.frontend.tracking import TrackerConfig
+        from tpuslam.kernels.align_direct import DirectAlignParams
+        from tpuslam.kernels.stereo_direct import DirectStereoParams
+
+        tracker_cfg = TrackerConfig(
+            pipelined=True,
+            chunk=max(2, args.chunk),
+            frontend=FrontendParams(base_scale=0.5, prescaled=True),
+            direct_stereo=DirectStereoParams(),
+            semidirect=DirectAlignParams(),
+        )
+    elif args.pipelined:
         from tpuslam.frontend.tracking import TrackerConfig
 
         tracker_cfg = TrackerConfig(pipelined=True)
@@ -171,6 +187,10 @@ def main(argv=None):
     r.add_argument("--plots", default="", help="write trajectory/map PNGs here")
     r.add_argument("--profile", default="", help="jax.profiler trace directory")
     r.add_argument("--pipelined", action="store_true", help="one-frame-lagged latency-hiding tracking")
+    r.add_argument("--fast", action="store_true",
+                   help="bench fast path (stereo): half-res prescaled ingest, "
+                        "direct epipolar stereo, semi-direct chunks")
+    r.add_argument("--chunk", type=int, default=6, help="frames per chunk for --fast")
     r.set_defaults(fn=cmd_run)
 
     m = sub.add_parser("make-synthetic", help="write a synthetic dataset")

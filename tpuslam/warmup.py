@@ -127,6 +127,10 @@ def warmup_tracking(
     # even when the BA solve is out-of-process; first use otherwise
     # compiles on the per-keyframe path)
     fuse_caps=(128, 256),
+    budget_s: Optional[float] = None,  # stop starting new warm steps past
+    # this wall budget (a degraded compile service can take minutes for ONE
+    # step — bench attempts must stay inside their subprocess timeout; the
+    # skipped programs just compile inline on first use)
     log: Optional[Callable[[str], None]] = None,
 ):
     """Compile the per-frame stereo tracking programs in safe order."""
@@ -292,7 +296,11 @@ def warmup_tracking(
 
             steps.append((f"local_ba_{caps}", _ba))
 
+    t_start = time.time()
     for name, thunk in steps:
+        if budget_s is not None and time.time() - t_start > budget_s:
+            log(f"warmup budget ({budget_s:.0f}s) spent; skipping {name} and later steps")
+            break
         t0 = time.time()
         out = thunk()
         # TRUE host sync: jax.block_until_ready returns at ENQUEUE on the
