@@ -209,8 +209,8 @@ class LocalMapper:
     # ---- deferred duplicate fusion ---------------------------------------
     def _dispatch_fuse_deferred(self, kf: KeyFrame):
         """Dispatch the fusion searches and START their d2h; the apply (and
-        its blocking resolve) runs at the next keyframe event."""
-        import jax
+        its blocking resolve) runs at a later tick()/keyframe event."""
+        import time as _time
 
         ld = self._fuse_lines_dispatch(kf)
         pd = self._fuse_points_dispatch(kf)
@@ -225,7 +225,23 @@ class LocalMapper:
                         leaf.copy_to_host_async()
                     except Exception:
                         pass
-        self._fuse_pending = (kf, ld, pd, self.map.generation)
+        self._fuse_pending = (kf, ld, pd, self.map.generation, _time.perf_counter())
+
+    def tick(self):
+        """Between-keyframe poll (called once per tracked frame): apply a
+        deferred duplicate fusion once its d2h has had time to land
+        (~RTT + transfer on the tunnel), and pick up a finished async BA
+        solve without waiting for the next keyframe. Both bound the map
+        staleness of the deferred paths to a few FRAMES instead of a whole
+        keyframe interval — the accuracy cost that kept fuse_defer
+        default-off shrinks accordingly."""
+        import time as _time
+
+        pending = getattr(self, "_fuse_pending", None)
+        if pending is not None and (_time.perf_counter() - pending[4]) >= 0.04:
+            self._apply_pending_fuse()
+        if self._ba_ctx is not None:
+            self._poll_ba(blocking=False)
 
     def _apply_pending_fuse(self):
         pending = getattr(self, "_fuse_pending", None)
@@ -234,7 +250,7 @@ class LocalMapper:
         import jax
 
         self._fuse_pending = None
-        kf, ld, pd, gen = pending
+        kf, ld, pd, gen = pending[:4]
         if kf.kid not in self.map.keyframes or kf.is_bad:
             return  # culled while the fusion was in flight
         if gen != self.map.generation:

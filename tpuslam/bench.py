@@ -117,7 +117,12 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
                 pose_buckets=tuple(r[0] for r in rungs),
                 line_buckets=tuple(r[1] for r in rungs),
                 obs_buckets=tuple(r[2] for r in rungs),
-            )
+            ),
+            # deferred duplicate-fusion apply: the fusion d2h (~24-34 ms
+            # tunnel RTT) rides while frames keep tracking; System's
+            # per-frame mapper.tick() applies it a few FRAMES later, so the
+            # staleness that kept this default-off shrank to ~2-3 frames
+            fuse_defer=os.environ.get("TPUSLAM_BENCH_FUSEDEFER", "1") == "1",
         )
     sys_ = System(
         cam,

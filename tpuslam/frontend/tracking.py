@@ -51,6 +51,7 @@ from tpuslam.frontend.points import (
     tracked_pose_step_hybrid,
     triangulate_stereo_points,
 )
+from tpuslam.frontend.kf_pack import pack_payload
 from tpuslam.geometry.camera import Intrinsics
 from tpuslam.kernels.align_direct import DirectAlignParams, inject_coord_scale_align
 from tpuslam.kernels.stereo_direct import (
@@ -1368,21 +1369,32 @@ class Tracker:
             local_ids = self._local_ids
             local_valid = self._local_valid
         pf = self._cur_pfeats
-        tri = ptri = None
+        tri = ptri = payload = None
         if stereo and not defer_tri:
             T_wc = jnp.asarray(np.linalg.inv(self.T_cw))
             tri = triangulate_stereo_lines(T_wc, feats, self.cam)
             if pf is not None:
                 ptri = triangulate_stereo_points(T_wc, pf, self.cam)
-            for leaf in jax.tree_util.tree_leaves(
-                (fine.match_idx, fine.inlier, tuple(feats),
-                 None if pf is None else tuple(pf), tri, ptri)
-            ):
-                if hasattr(leaf, "copy_to_host_async"):
-                    try:
-                        leaf.copy_to_host_async()
-                    except Exception:
-                        pass
+            # the whole host payload rides as ONE flat device vector with ONE
+            # async d2h: per-leaf copy_to_host_async starts are each a wire
+            # round trip on the tunnel (~12 leaves ~= 32 ms/KF, kf_pack.py).
+            # Only when the features are device-resident (the fused /
+            # semi-direct hot path) — packing host-side numpy features (sync
+            # path) would upload them just to download them again.
+            if hasattr(getattr(feats, "endpoints", None), "copy_to_host_async"):
+                payload = pack_payload(
+                    (fine.match_idx, fine.inlier, tuple(feats),
+                     None if pf is None else tuple(pf), tri, ptri)
+                )
+            else:
+                for leaf in jax.tree_util.tree_leaves(
+                    (fine.match_idx, fine.inlier, tri, ptri)
+                ):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        try:
+                            leaf.copy_to_host_async()
+                        except Exception:
+                            pass
         self.last_kf_frame = self.frame_idx  # gate the KF cadence immediately
         import time as _time
 
@@ -1398,6 +1410,7 @@ class Tracker:
             fine=fine,
             tri=tri,
             ptri=ptri,
+            payload=payload,
             lids=np.asarray(local_ids).copy(),
             lvalid=np.asarray(local_valid).copy(),
             p_match=self._cur_p_match,
@@ -1433,15 +1446,19 @@ class Tracker:
             feats = rec["feats_thunk"]()  # chunked path: whole-chunk view
         pf, fine = rec["pf"], rec["fine"]
         tri, ptri = rec["tri"], rec["ptri"]
-        if rec["stereo"] and tri is None:  # deferred (chunked) triangulation
-            T_wc = jnp.asarray(np.linalg.inv(rec["T_cw"]))
-            tri = triangulate_stereo_lines(T_wc, feats, self.cam)
-            if pf is not None:
-                ptri = triangulate_stereo_points(T_wc, pf, self.cam)
-        match_idx, inlier, feats_np, pf_np, tri, ptri = jax.device_get(
-            (fine.match_idx, fine.inlier, tuple(feats),
-             None if pf is None else tuple(pf), tri, ptri)
-        )
+        if rec.get("payload") is not None:
+            # single-buffer unpack: blocks on the ONE d2h started at begin
+            match_idx, inlier, feats_np, pf_np, tri, ptri = rec["payload"].unpack()
+        else:
+            if rec["stereo"] and tri is None:  # deferred (chunked) triangulation
+                T_wc = jnp.asarray(np.linalg.inv(rec["T_cw"]))
+                tri = triangulate_stereo_lines(T_wc, feats, self.cam)
+                if pf is not None:
+                    ptri = triangulate_stereo_points(T_wc, pf, self.cam)
+            match_idx, inlier, feats_np, pf_np, tri, ptri = jax.device_get(
+                (fine.match_idx, fine.inlier, tuple(feats),
+                 None if pf is None else tuple(pf), tri, ptri)
+            )
         feats_np = type(feats)(*[np.asarray(x) for x in feats_np])
         if pf_np is not None:
             pf_np = type(pf)(*[np.asarray(x) for x in pf_np])

@@ -169,6 +169,8 @@ class System:
         r = self.tracker.track_stereo(img_left, img_right, timestamp)
         dt = time.perf_counter() - t0
         self.timer.add("track", dt)
+        if self.mapper is not None:  # between-KF deferred-work poll
+            self.mapper.tick()
         if r is not None:  # pipelined mode resolves with a 1-2 frame lag
             self.trajectory.append(r)
             self._log(r, dt)
@@ -182,6 +184,8 @@ class System:
         r = self.tracker.track_monocular(img, timestamp)
         dt = time.perf_counter() - t0
         self.timer.add("track", dt)
+        if self.mapper is not None:  # between-KF deferred-work poll
+            self.mapper.tick()
         if r is not None:
             self.trajectory.append(r)
             self._log(r, dt)
