@@ -35,3 +35,17 @@ if not os.environ.get("TPUSLAM_TEST_TPU"):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _close_upload_threads():
+    """Close any AsyncUploader worker threads the test left behind.
+
+    Trackers constructed directly (no System.shutdown()) each spin up a
+    daemon upload thread; by the end of a full suite run 8+ were alive and
+    present in the round-3 segfault's faulthandler dump. Closing them per
+    test keeps the process's thread count flat."""
+    yield
+    from tpuslam.frontend.pipeline import AsyncUploader
+
+    AsyncUploader.close_all()

@@ -1,0 +1,136 @@
+"""Artifact discipline of the driver benchmark chain (VERDICT r3 item 1).
+
+The driver runs `python bench.py` under a hard deadline on hardware whose
+compile service can wedge for minutes; rounds 2 and 3 both ended with an
+empty BENCH artifact while the measurement sat in a killed subprocess's
+stdout. These tests pin the properties that make that impossible:
+
+  1. `_parse_last_json` recovers the last COMPLETE JSON line from partial
+     (killed-subprocess) output, str or bytes, truncated tails included.
+  2. `_run` returns the measurement from a subprocess it had to kill.
+  3. The full driver (`python bench.py`) exits 0 with a parseable headline
+     even when every sub-bench attempt hangs after its first emit.
+  4. The real sub-bench (`python -m tpuslam.bench`) emits a complete JSON
+     line BEFORE its device-feed/shutdown stages (CPU, tiny scene), so a
+     later wedge cannot erase the measurement.
+
+All CPU; no chip required.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_driver():
+    spec = importlib.util.spec_from_file_location(
+        "bench_driver", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parse_last_json_partial():
+    drv = _load_driver()
+    good = json.dumps({"fps_wall": 10.0})
+    # truncated tail (the kill landed mid-write): fall back to the complete line
+    out = good + "\n" + '{"fps_wall": 99.'
+    res = drv._parse_last_json(out, "stderr text")
+    assert res is not None and res["fps_wall"] == 10.0
+    assert res["_stderr_tail"] == "stderr text"
+    # bytes input (TimeoutExpired carries bytes even in text mode)
+    res = drv._parse_last_json(out.encode(), b"err")
+    assert res is not None and res["fps_wall"] == 10.0
+    # non-JSON noise only
+    assert drv._parse_last_json("warming up...\nframe 0\n", "") is None
+    assert drv._parse_last_json(None, None) is None
+
+
+def test_run_parses_timed_out_subprocess(monkeypatch):
+    monkeypatch.setenv(
+        "TPUSLAM_BENCH_SUB_MODULE", os.path.join(REPO, "tests", "bench_stub.py")
+    )
+    monkeypatch.setenv("TPUSLAM_STUB_HANG", "1")
+    drv = _load_driver()
+    t0 = time.monotonic()
+    res = drv._run({}, timeout=5.0)
+    assert time.monotonic() - t0 < 30.0
+    assert res["_timed_out"] is True
+    assert res["fps_wall"] == 42.0
+
+
+def test_driver_end_to_end_with_hanging_subbench(monkeypatch):
+    env = dict(
+        os.environ,
+        TPUSLAM_BENCH_SUB_MODULE=os.path.join(REPO, "tests", "bench_stub.py"),
+        TPUSLAM_STUB_HANG="1",
+        TPUSLAM_BENCH_DEADLINE="20",
+        TPUSLAM_BENCH_RESERVE_S="2",
+        TPUSLAM_BENCH_MIN_ATTEMPT_S="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(last)
+    assert out["metric"] == "stereo_vga_tracking_fps"
+    assert out["value"] == 42.0
+    assert out["vs_baseline"] == pytest.approx(42.0 / 200.0)
+    assert out["detail"]["sub_timed_out"] is True
+
+
+def test_subbench_emits_before_late_stages():
+    """The real sub-bench prints a complete JSON line right after its timed
+    loop; a wedge in any later stage (simulated at 'shutdown') must not
+    prevent it. Tiny QVGA scene, mapping off, warmup off — the XLA-CPU
+    compiles happen inline in the (untimed-for-this-test) loop."""
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        TPUSLAM_BENCH_CAM="qvga",
+        TPUSLAM_BENCH_FRAMES="2",
+        TPUSLAM_BENCH_FORCE_NOMAP="1",
+        TPUSLAM_BENCH_WARMUP="0",
+        TPUSLAM_BENCH_DEVFEED="0",
+        TPUSLAM_BENCH_CHUNK="1",
+        TPUSLAM_BENCH_FAKE_HANG="shutdown",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tpuslam",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tpuslam.bench"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+    try:
+        deadline = time.monotonic() + 600
+        line = None
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line:  # EOF = process died before emitting
+                break
+            if line.strip().startswith("{"):
+                break
+        assert line and line.strip().startswith("{"), "no JSON line before hang"
+        res = json.loads(line)
+        assert res["fps_wall"] > 0
+        assert res["frames"] == 2
+        # the hang stage is next — the emit above happened before it
+    finally:
+        proc.kill()
+        proc.wait()

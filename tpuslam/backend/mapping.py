@@ -65,17 +65,29 @@ class MapperConfig:
     kf_cull_redundancy: float = 0.9  # cull KF if this fraction of its
     kf_cull_min_obs: int = 3  # landmarks is seen by >= this many other KFs
     enable_kf_culling: bool = True
-    # defer the duplicate-fusion APPLY to the next keyframe event: the fuse
-    # searches dispatch at this KF (their device work overlaps the tracking
+    # defer the duplicate-fusion APPLY off the keyframe event: the fuse
+    # searches dispatch at the KF (their device work overlaps the tracking
     # stream) but the blocking d2h of the match results — a ~24-34 ms tunnel
-    # round trip paid inline on the KF frame — moves off the critical path;
-    # by the next KF the bytes are host-resident. Same staleness class as
-    # the async BA (the reference's mapping-thread semantics). finish()
-    # drains, so end-of-run map state is identical. Default OFF: the one-KF
-    # fusion delay measurably costs trajectory quality on short sequences
-    # (test_fused_direct_stereo ATE 0.030 -> 0.037); enable it where the
-    # tunnel RTT matters more than the marginal ATE (the chip bench).
+    # round trip paid inline on the KF frame — moves off the critical path.
+    # The per-frame tick() applies the result once `fuse_apply_delay_s` has
+    # elapsed, bounding staleness to a few FRAMES (not a whole KF interval
+    # as in the pre-tick() design whose ATE cost, 0.030 -> 0.037 on short
+    # sequences, kept this default-off). The bench enables it
+    # (TPUSLAM_BENCH_FUSEDEFER=1 default); measured basis:
+    # benchmarks/probe_fusedefer.py. finish() drains, so end-of-run map
+    # state is identical either way.
     fuse_defer: bool = False
+    # seconds after dispatch before tick() applies a deferred fusion —
+    # ~tunnel RTT + transfer so the d2h has landed and the apply's
+    # device_get is a no-wait read. Same knob family as the KF-resolve
+    # deferral (TPUSLAM_KF_DEFER_MS, tracking.py), env-overridable so
+    # tunnel-RTT tuning stays in one place.
+    fuse_apply_delay_s: float = field(
+        default_factory=lambda: float(
+            __import__("os").environ.get("TPUSLAM_FUSE_DEFER_MS", "40")
+        )
+        / 1e3
+    )
 
 
 class LocalMapper:
@@ -157,20 +169,35 @@ class LocalMapper:
         if self.on_map_changed:
             self.on_map_changed()
 
-    def _poll_ba(self, blocking: bool):
-        """Apply the in-flight async BA result if (or once) available."""
+    def _poll_ba(self, blocking: bool, timeout: float = 1200.0):
+        """Apply the in-flight async BA result if (or once) available.
+
+        `timeout` bounds the blocking drain: a cold LM+Schur compile in the
+        worker can take many minutes on a degraded compile service, and a
+        shutdown that waits for it unboundedly eats whatever deadline the
+        caller is under (the round-3 bench died exactly there). On timeout
+        the solve is abandoned and the worker respawned."""
         if self.solver is None or self._ba_ctx is None:
             return
+        import time as _time
+
         out = self.solver.poll(self._ba_req, timeout=0.0)
-        tries = 0
-        while out is None and blocking and tries < 40:  # <=20 min; selector
-            out = self.solver.poll(self._ba_req, timeout=30.0)  # keep timeouts small
-            tries += 1
+        t0 = _time.perf_counter()
+        while out is None and blocking and _time.perf_counter() - t0 < timeout:
+            step = min(30.0, max(0.1, timeout - (_time.perf_counter() - t0)))
+            out = self.solver.poll(self._ba_req, timeout=step)  # keep timeouts small
         if out is None:
             if blocking:
-                # worker presumed wedged: drop the solve AND respawn the
-                # worker, else a late result from this incarnation would be
-                # paired with the NEXT submit's ctx (round-2 advisor)
+                # worker presumed wedged (or still compiling past our drain
+                # budget): drop the solve AND respawn the worker, else a
+                # late result from this incarnation would be paired with
+                # the NEXT submit's ctx (round-2 advisor)
+                import sys as _sys
+
+                print(
+                    f"mapper: abandoned in-flight BA solve after {timeout:.0f}s drain",
+                    file=_sys.stderr,
+                )
                 self._ba_ctx = None
                 self._ba_req = -1
                 try:
@@ -201,10 +228,14 @@ class LocalMapper:
         if self.on_map_changed:
             self.on_map_changed()
 
-    def finish(self):
-        """Drain the in-flight async solve + fusion (sequence end/shutdown)."""
+    def finish(self, timeout: float = 1200.0):
+        """Drain the in-flight async solve + fusion (sequence end/shutdown).
+
+        `timeout` bounds the BA drain; an unfinished solve is abandoned
+        (reported on stderr) rather than holding shutdown hostage to a
+        degraded-service compile."""
         self._apply_pending_fuse()
-        self._poll_ba(blocking=True)
+        self._poll_ba(blocking=True, timeout=timeout)
 
     # ---- deferred duplicate fusion ---------------------------------------
     def _dispatch_fuse_deferred(self, kf: KeyFrame):
@@ -238,7 +269,9 @@ class LocalMapper:
         import time as _time
 
         pending = getattr(self, "_fuse_pending", None)
-        if pending is not None and (_time.perf_counter() - pending[4]) >= 0.04:
+        if pending is not None and (
+            _time.perf_counter() - pending[4]
+        ) >= self.cfg.fuse_apply_delay_s:
             self._apply_pending_fuse()
         if self._ba_ctx is not None:
             self._poll_ba(blocking=False)

@@ -8,12 +8,19 @@ triangulations), so the per-leaf starts alone cost ~30 ms/KF
 flat f32 vector inside ONE jitted program turns the whole payload into a
 single dispatch + a single async d2h; the host unpacks with numpy views.
 
-Dtype handling: 4-byte dtypes (f32 / i32 / u32) are BITCAST, not
-value-cast — lossless and free on the device; the host recovers them with
-`ndarray.view`. bool and sub-4-byte integer leaves are value-cast to f32
-and cast back on the host (4x wire inflation, acceptable for the small
-mask arrays this path carries — validity masks are f32 by convention
-anyway, frame.py:80).
+Dtype handling (round-4 rework — the original bitcast design CORRUPTS on
+TPU): inside a jitted TPU program, f32 denormals are flushed to zero and
+NaN payloads canonicalized (measured on the axon chip: 0x00000001 -> 0,
+0x7f800001 -> 0x7fc00000 through a bitcast+concatenate program), so any
+4-byte int leaf bitcast to f32 loses exactly the values SLAM payloads are
+full of (small match indices bitcast to denormals; descriptor words with
+NaN-pattern bits). Int leaves therefore ride as TWO u16 halves value-cast
+to f32 — every value 0..65535 is exactly representable and a normal
+number, so the encoding survives any IEEE-conforming flush/canonicalize
+pass. Wire cost: 2x on int leaves only (~16 KB extra on a 512-line
+payload, ~1 ms at tunnel rate) — far cheaper than the per-leaf round
+trips this module exists to avoid. bool and sub-4-byte integer leaves are
+value-cast to f32 directly (their ranges fit exactly).
 
 SURVEY §4.3 CreateNewKeyFrame host hand-off; the reference pays nothing
 here (shared-memory threads) — on a PCIe/tunnel topology the transfer
@@ -29,22 +36,32 @@ import numpy as np
 __all__ = ["pack_payload", "unpack_payload", "PackedPayload"]
 
 
-def _to_f32(x):
+def _encode(x):
+    """Leaf -> (f32 vector, slots-per-element). Int32/uint32 split into
+    exact u16 halves (see module docstring); f32 passes through; bool and
+    narrow ints value-cast (exact)."""
     x = jnp.asarray(x)
     dt = np.dtype(x.dtype)
     if dt == np.float32:
-        return x.ravel()
+        return x.ravel(), 1
     if dt.itemsize == 4 and dt.kind in "iu":
-        return jax.lax.bitcast_convert_type(x, jnp.float32).ravel()
-    return x.astype(jnp.float32).ravel()
+        u = x if dt.kind == "u" else jax.lax.bitcast_convert_type(x, jnp.uint32)
+        u = u.ravel()
+        lo = (u & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        hi = (u >> jnp.uint32(16)).astype(jnp.float32)
+        return jnp.concatenate([lo, hi]), 2
+    return x.astype(jnp.float32).ravel(), 1
 
 
 @jax.jit
-def _pack(tree):
-    leaves = jax.tree_util.tree_leaves(tree)
+def _pack(leaves):
     if not leaves:
         return jnp.zeros((0,), jnp.float32)
-    return jnp.concatenate([_to_f32(l) for l in leaves])
+    return jnp.concatenate([_encode(l)[0] for l in jax.tree_util.tree_leaves(leaves)])
+
+
+def _slots(dt: np.dtype) -> int:
+    return 2 if (dt.itemsize == 4 and dt.kind in "iu" and dt != np.float32) else 1
 
 
 class PackedPayload:
@@ -66,9 +83,9 @@ class PackedPayload:
             dt = np.dtype(leaf.dtype)
             n = int(np.prod(shape, dtype=np.int64)) if shape else 1
             entries.append((shape, dt, off, n))
-            off += n
+            off += n * _slots(dt)
         self._entries = entries
-        self.buf = _pack(tree)
+        self.buf = _pack(leaves)
         if hasattr(self.buf, "copy_to_host_async"):
             try:
                 self.buf.copy_to_host_async()
@@ -79,15 +96,17 @@ class PackedPayload:
         buf = np.asarray(self.buf)
         out = []
         for shape, dt, off, n in self._entries:
-            seg = buf[off : off + n]
             if dt == np.float32:
-                arr = seg
+                arr = buf[off : off + n]
             elif dt.itemsize == 4 and dt.kind in "iu":
-                arr = seg.view(dt)
+                lo = buf[off : off + n].astype(np.uint32)
+                hi = buf[off + n : off + 2 * n].astype(np.uint32)
+                u = lo | (hi << np.uint32(16))
+                arr = u if dt.kind == "u" else u.view(dt)
             elif dt == np.bool_:
-                arr = seg > 0.5
+                arr = buf[off : off + n] > 0.5
             else:
-                arr = seg.astype(dt)
+                arr = buf[off : off + n].astype(dt)
             out.append(arr.reshape(shape))
         return jax.tree_util.tree_unflatten(self._treedef, out)
 

@@ -748,9 +748,17 @@ class AsyncUploader:
     turns the upload into pipeline overlap instead of added latency.
     """
 
+    _instances = None  # class-level WeakSet, created on first construction
+
     def __init__(self, depth: int = 2):
         self._jobs: "queue.Queue" = queue.Queue(maxsize=depth)
         self._thread = None
+        cls = AsyncUploader
+        if cls._instances is None:
+            import weakref
+
+            cls._instances = weakref.WeakSet()
+        cls._instances.add(self)
 
     def _ensure_thread(self):
         if self._thread is None or not self._thread.is_alive():
@@ -792,3 +800,11 @@ class AsyncUploader:
             self._jobs.put(None)
             self._thread.join(timeout=5.0)
             self._thread = None
+
+    @classmethod
+    def close_all(cls):
+        """Close every live uploader (test-suite hygiene: trackers built
+        without a System.shutdown() path would otherwise each leak a daemon
+        thread for the life of the process)."""
+        for up in list(cls._instances or ()):
+            up.close()

@@ -994,6 +994,15 @@ class Tracker:
         out.extend(self.pop_results())
         return out
 
+    def close(self):
+        """Stop the upload worker thread (idempotent). Without this every
+        Tracker leaks a daemon thread; a full test suite accumulates enough
+        of them to destabilize XLA-CPU compiles (round-3 segfault dump
+        showed 8 leaked AsyncUploader threads)."""
+        if self._uploader is not None:
+            self._uploader.close()
+            self._uploader = None
+
     # ---- core ----------------------------------------------------------
     def _track(self, feats: FrameFeatures, timestamp: float, stereo: bool) -> FrameResult:
         if self.state == TrackingState.NOT_INITIALIZED:

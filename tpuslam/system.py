@@ -265,7 +265,13 @@ class System:
     def timing_summary(self):
         return self.timer.summary()
 
-    def shutdown(self):
+    def shutdown(self, drain_timeout: float = 1200.0):
+        """Flush in-flight frames, drain mapping, release workers/threads.
+
+        `drain_timeout` bounds the wait for an in-flight async BA solve —
+        a cold worker-side compile on a degraded service must not hold
+        shutdown (and any deadline the caller is under) hostage; an
+        unfinished solve is abandoned with a stderr note."""
         if hasattr(self.tracker, "flush_all"):
             for r in self.tracker.flush_all():
                 self.trajectory.append(r)
@@ -276,7 +282,8 @@ class System:
                 self.trajectory.append(r)
                 self._log(r, 0.0)
         if self.mapper is not None:
-            self.mapper.finish()  # drain the async BA solve, apply write-back
+            # drain the async BA solve, apply write-back (bounded)
+            self.mapper.finish(timeout=drain_timeout)
         if self._log_f is not None:
             self._log_f.write(json.dumps(dict(timing=self.timing_summary())) + "\n")
             self._log_f.close()
@@ -284,3 +291,5 @@ class System:
         if self._ba_worker is not None:
             self._ba_worker.close()
             self._ba_worker = None
+        if hasattr(self.tracker, "close"):
+            self.tracker.close()  # stop the upload worker thread

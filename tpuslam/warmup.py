@@ -204,8 +204,55 @@ def warmup_tracking(
     from tpuslam.frontend.frame import _fused_stereo
     from tpuslam.frontend.matcher import _fused_track
 
+    # Step order = CRITICALITY order, most important first (round-3
+    # postmortem: the first warm step of a fresh process absorbed 306 s of
+    # degraded-service/backend-init latency and the budget died before the
+    # production chunk program ever compiled). A tiny first_touch step
+    # isolates backend-init + connection cost from the first real compile,
+    # so the log tells cache-miss from tunnel-degradation apart. If the
+    # budget runs out, the SKIPPED programs are the ones the timed loop
+    # either doesn't use (fallback paths) or can absorb inline.
     steps = [
-        # (name, thunk) — the fused per-frame residents (ascending cost)
+        ("first_touch", lambda: jax.jit(lambda x: x + 1)(jnp.zeros(8, jnp.float32))),
+        # the production per-frame program FIRST: semi-direct chunk /
+        # chunked scan / fused whole-frame, whichever this config runs
+        *(
+            [(
+                f"fused_semidirect_{chunk}",
+                lambda: __fused_semidirect_warm(
+                    cam, fe, sc, sf, oc, NL, rng, chunk, direct_stereo,
+                    __inject_align(semidirect, fe),
+                ),
+            )]
+            if chunk > 1 and direct_stereo is not None and semidirect is not None
+            else []
+        ),
+        *(
+            [(
+                f"fused_chunk_{chunk}",
+                lambda: __fused_chunk_warm(
+                    cam, fe, sc, sf, oc, NL, rng, chunk, direct_stereo
+                ),
+            )]
+            if chunk > 1 and direct_stereo is not None and semidirect is None
+            else []
+        ),
+        # the fused whole-frame program (frontend/pipeline.py) — u8 ingest,
+        # the production path for pipelined chunk=1 tracking AND the
+        # fallback for chunked modes
+        ("fused_frame_u8", lambda: __fused_frame_warm(
+            cam, fe, sp, sc, sf, oc, NL, rng, np.uint8, sd=direct_stereo)),
+        # sync-path programs (frame-0 init, relocalization, KF events)
+        ("extract", lambda: extract_features(
+            jnp.asarray(rng.random((Hs, Ws)), jnp.float32), fe)),
+        *(
+            [(
+                "direct_stereo",
+                lambda: __direct_stereo_warm(cam, fe, direct_stereo, rng),
+            )]
+            if direct_stereo is not None
+            else []
+        ),
         ("triangulate", lambda: _triangulate_stereo(
             T, fl.endpoints, fl.depth, fl.has_depth, fl.valid, cam)),
         ("fused_stereo", lambda: _fused_stereo(
@@ -220,44 +267,6 @@ def warmup_tracking(
             T, lines, ep3d, bits, validf,
             fl.midpoint, fl.angle, fl.desc_bits, fl.valid, fl.endpoints, fl.sigma,
             fl.has_depth, cam, sf, oc)),
-        ("extract", lambda: extract_features(
-            jnp.asarray(rng.random((Hs, Ws)), jnp.float32), fe)),
-        # sync-path direct stereo (used at init / relocalization frames)
-        *(
-            [(
-                "direct_stereo",
-                lambda: __direct_stereo_warm(cam, fe, direct_stereo, rng),
-            )]
-            if direct_stereo is not None
-            else []
-        ),
-        # the fused whole-frame program (frontend/pipeline.py) — u8 ingest,
-        # the production path for pipelined stereo tracking
-        ("fused_frame_u8", lambda: __fused_frame_warm(
-            cam, fe, sp, sc, sf, oc, NL, rng, np.uint8, sd=direct_stereo)),
-        # the chunked scan program (C frames per dispatch), when enabled
-        *(
-            [(
-                f"fused_chunk_{chunk}",
-                lambda: __fused_chunk_warm(
-                    cam, fe, sc, sf, oc, NL, rng, chunk, direct_stereo
-                ),
-            )]
-            if chunk > 1 and direct_stereo is not None and semidirect is None
-            else []
-        ),
-        # the semi-direct chunk program (anchor + aligned followers)
-        *(
-            [(
-                f"fused_semidirect_{chunk}",
-                lambda: __fused_semidirect_warm(
-                    cam, fe, sc, sf, oc, NL, rng, chunk, direct_stereo,
-                    __inject_align(semidirect, fe),
-                ),
-            )]
-            if chunk > 1 and direct_stereo is not None and semidirect is not None
-            else []
-        ),
     ]
     if fuse_search is not None:
         from tpuslam.frontend.matcher import search_by_projection
