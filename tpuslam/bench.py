@@ -122,6 +122,13 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         from tpuslam.kernels.align_direct import DirectAlignParams
 
         tcfg.semidirect = DirectAlignParams()
+    if os.environ.get("TPUSLAM_BENCH_POINTS", "0") == "1":
+        # hybrid points in the headline mode (SURVEY §3.1 MapPoint): the
+        # anchor tracks corners+lines jointly; semi-direct followers align
+        # against both families (pipeline._fused_chunk_semidirect_hybrid)
+        from tpuslam.frontend.points import PointFrontendParams
+
+        tcfg.points = PointFrontendParams()
     # pin the BA bucket ladder to ONE rung that covers a bench-scale run:
     # every production solve then compiles exactly one program, the warmer
     # compiles exactly that program, and the solver pretouch makes the first
@@ -180,6 +187,9 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             direct_stereo=tc.direct_stereo,
             chunk=tc.chunk,
             semidirect=tc.semidirect,
+            points=tc.points,
+            direct_points=tc.direct_points,
+            point_local_capacity=tc.point_local_capacity,
             # the BA worker owns (and lazily warms) the LM programs in its
             # own process; compiling them here too would re-poison this one
             with_mapping=mapping and sys_._ba_worker is None,
@@ -378,12 +388,27 @@ def _device_feed_fps(sys_, imgs, log, n=40):
 
         stacks = [stack(i * C) for i in range(6)]
         np.asarray(stacks[-1][0, :1, :1])  # drain uploads
-        args = (
-            local, float(tr.cam.fx * tr.cam.baseline), tr.cam, fe,
-            tr.cfg.search_coarse, tr.cfg.search_fine, tr.cfg.pose_opt,
-            tr.cfg.min_track_inliers,
-        )
-        kw = dict(sd=tr._direct_lines(), ap=tr._align_params())
+        if tr.cfg.points is not None:
+            from tpuslam.frontend.pipeline import fused_stereo_semidirect_hybrid
+
+            plocal = tr._point_local_arrays()
+            args = (
+                local, plocal, float(tr.cam.fx * tr.cam.baseline), tr.cam, fe,
+                tr.cfg.search_coarse, tr.cfg.search_fine, tr.cfg.pose_opt,
+                tr.cfg.min_track_inliers,
+            )
+            kw = dict(
+                sd=tr._direct_lines(), sdp=tr._direct_points(),
+                pp=tr.cfg.points, ap=tr._align_params(),
+            )
+            fused_stereo_semidirect = fused_stereo_semidirect_hybrid
+        else:
+            args = (
+                local, float(tr.cam.fx * tr.cam.baseline), tr.cam, fe,
+                tr.cfg.search_coarse, tr.cfg.search_fine, tr.cfg.pose_opt,
+                tr.cfg.min_track_inliers,
+            )
+            kw = dict(sd=tr._direct_lines(), ap=tr._align_params())
         out = fused_stereo_semidirect(stacks[0], chain[0], chain[1], *args, **kw)
         np.asarray(out.packed)
         n_chunks = max(4, n // C)

@@ -454,8 +454,7 @@ def _track_core_hybrid_body(
     return l_depth, l_okf, midx, l_inl, p_idx, p_inl, packed, T_acc, T_prev_next
 
 
-@partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))
-def _fused_frame_hybrid(
+def _fused_frame_hybrid_body(
     pair, T_last, T_prevlast,
     lm_plucker, lm_ep3d, lm_bits, lm_validf,
     pm_xyz, pm_bits, pm_validf,
@@ -501,6 +500,74 @@ def _fused_frame_hybrid(
         cam, sc, sf, pp, po, min_inliers,
     )
     return (fl, fp) + out
+
+
+_fused_frame_hybrid = partial(
+    jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18)
+)(_fused_frame_hybrid_body)
+
+
+@partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20))
+def _fused_chunk_semidirect_hybrid(
+    frames, T_last, T_prevlast,
+    lm_plucker, lm_ep3d, lm_bits, lm_validf,
+    pm_xyz, pm_bits, pm_validf,
+    fxb: float, cam: Intrinsics, fe: FrontendParams, sd, sdp, pp, ap,
+    sc: ProjectionSearchParams, sf: ProjectionSearchParams,
+    po: PoseOptConfig, min_inliers: int,
+):
+    """Hybrid semi-direct chunk: full point+line detection + joint pose LM
+    on the anchor only; followers align photometrically against BOTH
+    landmark families — line templates slid perpendicular to projections
+    plus per-point orthogonal axis templates, one joint Gauss-Newton
+    (kernels/align_direct.py `align_frame_hybrid_body`). Closes the
+    round-3 gap where the flagship speed mode (semi-direct chunks) and the
+    flagship robustness feature (hybrid points, SURVEY §3.1 MapPoint)
+    were mutually exclusive. Same frame layout as `_fused_chunk_semidirect`:
+    (C+1, H, W) = anchor pair + follower LEFT images, ONE dispatch."""
+    from tpuslam.kernels.align_direct import (
+        align_frame_hybrid_body,
+        anchor_point_templates_body,
+        anchor_templates_body,
+    )
+
+    if frames.dtype != jnp.float32:
+        frames = frames.astype(jnp.float32) / 255.0
+    (
+        fl, fp, l_depth, l_okf, midx, l_inl, p_idx, p_inl, packed0, T_acc, T_prev
+    ) = _fused_frame_hybrid_body(
+        frames[:2], T_last, T_prevlast,
+        lm_plucker, lm_ep3d, lm_bits, lm_validf,
+        pm_xyz, pm_bits, pm_validf,
+        fxb, cam, fe, sd, sdp, pp, sc, sf, po, min_inliers,
+    )
+    A, Ap = ap.align_cap, ap.point_cap
+    plucker_a = lm_plucker[:A]
+    tm = anchor_templates_body(frames[0], T_acc, lm_ep3d[:A], lm_validf[:A], cam, ap)
+    tm_p = anchor_point_templates_body(
+        frames[0], T_acc, pm_xyz[:Ap], pm_validf[:Ap], cam, ap
+    )
+
+    def step(chain, img):
+        T_l, T_p = chain
+        T_pred = T_l @ se3_inverse(T_p) @ T_l
+        T_new, n_samp, n_units = align_frame_hybrid_body(
+            img, T_pred, plucker_a, tm, tm_p, cam, ap
+        )
+        acceptf = (n_units >= float(min_inliers)).astype(jnp.float32)
+        T_i = se3_orthonormalize(acceptf * T_new + (1.0 - acceptf) * T_pred)
+        T_p_next = acceptf * T_l + (1.0 - acceptf) * T_i
+        packed_i = jnp.concatenate(
+            [T_i.reshape(-1), n_samp[None], n_units[None],
+             jnp.zeros((1,), jnp.float32), acceptf[None]]
+        )
+        return (T_i, T_p_next), packed_i
+
+    (T_l, T_p), packed_rest = jax.lax.scan(step, (T_acc, T_prev), frames[2:])
+    packed = jnp.concatenate([packed0[None], packed_rest], axis=0)
+    return (
+        fl, fp, l_depth, l_okf, midx, l_inl, p_idx, p_inl, packed, T_l, T_p
+    )
 
 
 @partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
@@ -695,6 +762,51 @@ def fused_stereo_semidirect(
         packed=packed,
         T_last=T_l,
         T_prevlast=T_p,
+    )
+
+
+def fused_stereo_semidirect_hybrid(
+    frames: jnp.ndarray,
+    T_last: jnp.ndarray,
+    T_prevlast: jnp.ndarray,
+    local: dict,
+    plocal: dict,
+    fxb: float,
+    cam: Intrinsics,
+    fe: FrontendParams,
+    sc: ProjectionSearchParams,
+    sf: ProjectionSearchParams,
+    po: PoseOptConfig,
+    min_inliers: int,
+    sd,
+    sdp,
+    pp,
+    ap,
+) -> FusedFrameOut:
+    """Hybrid semi-direct chunk wrapper: anchor fully tracked against lines
+    AND points, followers aligned photometrically against both families
+    (see `_fused_chunk_semidirect_hybrid`). The returned FusedFrameOut
+    carries the ANCHOR's single-frame feature/match arrays (both families)
+    and a (C, 20) `packed` with one row per frame."""
+    (
+        fl, fp, l_depth, l_okf, midx, l_inl, p_idx, p_inl, packed, T_l, T_p
+    ) = _fused_chunk_semidirect_hybrid(
+        frames, T_last, T_prevlast,
+        local["plucker"], local["ep3d"], local["bits"], local["valid"],
+        plocal["xyz"], plocal["bits"], plocal["valid"],
+        float(fxb), cam, fe, sd, sdp, pp, ap, sc, sf, po, int(min_inliers),
+    )
+    feats = fl._replace(depth=l_depth, has_depth=l_okf)
+    return FusedFrameOut(
+        feats=feats,
+        match_idx=midx,
+        inlier=l_inl,
+        packed=packed,
+        T_last=T_l,
+        T_prevlast=T_p,
+        pfeats=fp,
+        p_match_idx=p_idx,
+        p_inlier=p_inl,
     )
 
 

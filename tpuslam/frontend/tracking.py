@@ -229,11 +229,11 @@ class _SemiFrameView:
     features — only their `packed` row; the rare host paths that need
     features for them (TrackReferenceKeyFrame fallback, relocalization,
     weak-inlier keyframe promotion) lazily re-extract from the kept host
-    image pair through the tracker's sync front-end."""
+    image pair through the tracker's sync front-end.
 
-    pfeats = None
-    p_match_idx = None
-    p_inlier = None
+    Hybrid chunks: the anchor also exposes the point family (pfeats /
+    p_match_idx / p_inlier); inter frames report None for them (their
+    alignment consumed points photometrically — no per-point matches)."""
 
     def __init__(self, out, i: int, packed_cache: dict, tracker=None, host_pair=None):
         self._out = out
@@ -248,6 +248,18 @@ class _SemiFrameView:
     @property
     def inter(self) -> bool:
         return self._i > 0
+
+    @property
+    def pfeats(self):
+        return self._out.pfeats if self._i == 0 else None
+
+    @property
+    def p_match_idx(self):
+        return self._out.p_match_idx if self._i == 0 else None
+
+    @property
+    def p_inlier(self):
+        return self._out.p_inlier if self._i == 0 else None
 
     @property
     def packed(self) -> np.ndarray:
@@ -438,9 +450,14 @@ class Tracker:
         return inject_coord_scale(p, fe.base_scale, fe.prescaled)
 
     def _chunk_size(self) -> int:
-        """Frames per fused dispatch; chunking needs the direct-stereo
-        lines-only scan program (pipeline._fused_chunk_direct)."""
-        if self.cfg.points is not None or self.cfg.direct_stereo is None:
+        """Frames per fused dispatch; chunking needs direct stereo. With
+        hybrid points enabled the chunk must be the SEMI-DIRECT program
+        (pipeline._fused_chunk_semidirect_hybrid aligns followers against
+        both landmark families); the lines-only chunk scan has no point
+        stage, so points + chunk without semidirect falls back to 1."""
+        if self.cfg.direct_stereo is None:
+            return 1
+        if self.cfg.points is not None and self.cfg.semidirect is None:
             return 1
         return max(1, int(self.cfg.chunk))
 
@@ -595,27 +612,57 @@ class Tracker:
         local = self._local_map_arrays()
         lids_snap = self._local_ids.copy()
         lvalid_snap = self._local_valid.copy()
-        out = fused_stereo_semidirect(
-            frames_dev,
-            self._dev_chain[0],
-            self._dev_chain[1],
-            local,
-            float(self.cam.fx * self.cam.baseline),
-            self.cam,
-            self.cfg.frontend,
-            self.cfg.search_coarse,
-            self.cfg.search_fine,
-            self.cfg.pose_opt,
-            self.cfg.min_track_inliers,
-            sd=self._direct_lines(),
-            ap=self._align_params(),
-        )
+        hybrid = self.cfg.points is not None
+        plids_snap = plvalid_snap = None
+        if hybrid:
+            from tpuslam.frontend.pipeline import fused_stereo_semidirect_hybrid
+
+            plocal = self._point_local_arrays()
+            plids_snap = self._plocal_ids.copy()
+            plvalid_snap = self._plocal_valid.copy()
+            out = fused_stereo_semidirect_hybrid(
+                frames_dev,
+                self._dev_chain[0],
+                self._dev_chain[1],
+                local,
+                plocal,
+                float(self.cam.fx * self.cam.baseline),
+                self.cam,
+                self.cfg.frontend,
+                self.cfg.search_coarse,
+                self.cfg.search_fine,
+                self.cfg.pose_opt,
+                self.cfg.min_track_inliers,
+                sd=self._direct_lines(),
+                sdp=self._direct_points(),
+                pp=self.cfg.points,
+                ap=self._align_params(),
+            )
+        else:
+            out = fused_stereo_semidirect(
+                frames_dev,
+                self._dev_chain[0],
+                self._dev_chain[1],
+                local,
+                float(self.cam.fx * self.cam.baseline),
+                self.cam,
+                self.cfg.frontend,
+                self.cfg.search_coarse,
+                self.cfg.search_fine,
+                self.cfg.pose_opt,
+                self.cfg.min_track_inliers,
+                sd=self._direct_lines(),
+                ap=self._align_params(),
+            )
         self._dev_chain = (out.T_last, out.T_prevlast)
         try:
             # only the packed rows ride eagerly: the anchor's feature/match
             # arrays are needed only on KF events, and _kf_begin starts
             # their d2h then (deferred finish rides it 1-2 resolves)
             out.packed.copy_to_host_async()
+            if hybrid:
+                out.p_match_idx.copy_to_host_async()
+                out.p_inlier.copy_to_host_async()
         except Exception:
             pass
         if on_enqueued is not None:
@@ -627,7 +674,8 @@ class Tracker:
                 host_pair=None if i == 0 else host_pairs[i],
             )
             self._fuse_queue.append(
-                (fidx, fts, view, lids_snap, lvalid_snap, None, None)
+                (fidx, fts, view, lids_snap, lvalid_snap,
+                 plids_snap, plvalid_snap)
             )
         while (
             len(self._fuse_queue) > max(self._chunk_size(), self.cfg.fuse_lag)

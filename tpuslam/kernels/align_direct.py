@@ -75,6 +75,13 @@ class DirectAlignParams(NamedTuple):
     # this before sampling; measured points are divided back to full-res px.
     # template/search widths above are IMAGE px.
     coord_scale: float = 1.0
+    # hybrid followers (SURVEY §3.1 MapPoint in the headline chunk mode):
+    # P map points aligned alongside the lines — each point carries TWO
+    # orthogonal 1-D templates (a row profile and a column profile through
+    # its anchor projection), searched independently along x and y, giving
+    # a full 2-DoF reprojection constraint with the same contiguous-gather
+    # machinery as the line templates. 0 = lines only.
+    point_cap: int = 256
 
 
 class AlignTemplates(NamedTuple):
@@ -84,6 +91,16 @@ class AlignTemplates(NamedTuple):
     tmpl: jnp.ndarray  # (A, S, Wt) f32 anchor intensity profile (0..255)
     vert: jnp.ndarray  # (A,) f32 {0,1}: 1 = search along y (line mostly horizontal)
     tvalid: jnp.ndarray  # (A, S) f32 sample validity
+
+
+class PointAlignTemplates(NamedTuple):
+    """Per-point photometric templates: TWO orthogonal 1-D profiles
+    (a row profile searched along x, a column profile searched along y)
+    through the anchor projection — together a full 2-DoF constraint."""
+
+    p3d: jnp.ndarray  # (P, 3) world-frame map points
+    tmpl: jnp.ndarray  # (P, 2, Wt) f32; [:, 0] = x-search row, [:, 1] = y-search col
+    tvalid: jnp.ndarray  # (P, 2) f32 per-axis validity
 
 
 def _axis_window(img255: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
@@ -170,6 +187,44 @@ def anchor_templates_body(
     return AlignTemplates(p3d=p3d, tmpl=win, vert=vert, tvalid=tvalid)
 
 
+def _slide_zsad(win, inb, tmpl, Wt: int, M: int, ratio: float):
+    """Sliding zero-mean SAD + subpixel argmin, generic over leading dims.
+
+    win/inb: (..., M-1+Wt) axis windows; tmpl: (..., Wt). Returns
+    (delta (...,) subpixel shift in [-R, R], cbest (...,), uniq (...,) bool,
+    inb_ok (...,) bool). Static slices only."""
+    cs = jnp.cumsum(win, axis=-1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
+    mwin = (cs[..., Wt:] - cs[..., :-Wt]) / float(Wt)  # (..., M)
+    mt = jnp.mean(tmpl, axis=-1, keepdims=True)
+    csb = jnp.cumsum(inb.astype(jnp.float32), axis=-1)
+    csb = jnp.concatenate([jnp.zeros_like(csb[..., :1]), csb], axis=-1)
+    okw = (csb[..., Wt:] - csb[..., :-Wt]) / float(Wt)  # 1.0 iff fully in-bounds
+    cost = jnp.zeros_like(mwin)
+    for w in range(Wt):
+        cost = cost + jnp.abs(
+            (win[..., w : w + M] - mwin) - (tmpl[..., w : w + 1] - mt)
+        )
+    cost = cost / float(Wt) + (1.0 - (okw > 0.999).astype(jnp.float32)) * 1e6
+
+    best = jnp.argmin(cost, axis=-1)
+    cbest = jnp.min(cost, axis=-1)
+    jgrid = jnp.arange(M)
+    shape = (1,) * (cost.ndim - 1) + (M,)
+    near = (jnp.abs(jgrid.reshape(shape) - best[..., None]) <= 2).astype(jnp.float32)
+    c2 = jnp.min(cost + near * 1e6, axis=-1)
+    uniq = cbest < ratio * c2
+    bm1 = jnp.clip(best - 1, 0, M - 1)
+    bp1 = jnp.clip(best + 1, 0, M - 1)
+    cm1 = jnp.take_along_axis(cost, bm1[..., None], -1)[..., 0]
+    cp1 = jnp.take_along_axis(cost, bp1[..., None], -1)[..., 0]
+    denom = jnp.maximum(cm1 - 2.0 * cbest + cp1, 1e-6)
+    sub = jnp.clip(0.5 * (cm1 - cp1) / denom, -1.0, 1.0)
+    R = (M - 1) // 2
+    delta = best.astype(jnp.float32) - R + sub  # image px along the axis
+    return delta, cbest, uniq
+
+
 def _search_templates(
     img255: jnp.ndarray,
     T: jnp.ndarray,
@@ -190,34 +245,7 @@ def _search_templates(
     win, inb = _axis_window(
         img255, uv[..., 0], uv[..., 1], vert, span, -(R + Wt // 2)
     )  # (A, S, span): placements j cover shifts delta = j - R
-    # zero-mean SAD over the sliding window (static slices only)
-    cs = jnp.cumsum(win, axis=-1)
-    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
-    mwin = (cs[..., Wt:] - cs[..., :-Wt]) / float(Wt)  # (A, S, M)
-    mt = jnp.mean(tm.tmpl, axis=-1, keepdims=True)  # (A, S, 1)
-    csb = jnp.cumsum(inb.astype(jnp.float32), axis=-1)
-    csb = jnp.concatenate([jnp.zeros_like(csb[..., :1]), csb], axis=-1)
-    okw = (csb[..., Wt:] - csb[..., :-Wt]) / float(Wt)  # 1.0 iff fully in-bounds
-    cost = jnp.zeros_like(mwin)
-    for w in range(Wt):
-        cost = cost + jnp.abs(
-            (win[..., w : w + M] - mwin) - (tm.tmpl[..., w : w + 1] - mt)
-        )
-    cost = cost / float(Wt) + (1.0 - (okw > 0.999).astype(jnp.float32)) * 1e6
-
-    best = jnp.argmin(cost, axis=-1)  # (A, S)
-    cbest = jnp.min(cost, axis=-1)
-    jgrid = jnp.arange(M)
-    near = (jnp.abs(jgrid[None, None, :] - best[..., None]) <= 2).astype(jnp.float32)
-    c2 = jnp.min(cost + near * 1e6, axis=-1)
-    uniq = cbest < p.ratio * c2
-    bm1 = jnp.clip(best - 1, 0, M - 1)
-    bp1 = jnp.clip(best + 1, 0, M - 1)
-    cm1 = jnp.take_along_axis(cost, bm1[..., None], -1)[..., 0]
-    cp1 = jnp.take_along_axis(cost, bp1[..., None], -1)[..., 0]
-    denom = jnp.maximum(cm1 - 2.0 * cbest + cp1, 1e-6)
-    sub = jnp.clip(0.5 * (cm1 - cp1) / denom, -1.0, 1.0)
-    delta = best.astype(jnp.float32) - R + sub  # image px along the axis
+    delta, cbest, uniq = _slide_zsad(win, inb, tm.tmpl, Wt, M, p.ratio)
 
     axis_vec = jnp.stack([1.0 - tm.vert, tm.vert], axis=-1)[:, None, :]  # (A,1,2)
     m = (uv + delta[..., None] * axis_vec) / p.coord_scale  # full-res px
@@ -231,6 +259,75 @@ def _search_templates(
     return m, ok
 
 
+def anchor_point_templates_body(
+    img: jnp.ndarray,
+    T_anchor: jnp.ndarray,
+    xyz: jnp.ndarray,
+    validf: jnp.ndarray,
+    cam: Intrinsics,
+    p: DirectAlignParams,
+) -> PointAlignTemplates:
+    """Two orthogonal 1-D templates per map point from the anchor image.
+
+    img: (H, W) f32 in [0, 1]. xyz: (P, 3) world map points (sliced to
+    point_cap by the caller). Per point: a row profile (searched along x)
+    and a column profile (searched along y) — each axis gated on contrast
+    independently, so a horizontal edge still constrains v even when u is
+    unobservable (and vice versa); the GN only uses points with BOTH axes
+    valid for a full 2-DoF residual."""
+    P_, Wt = xyz.shape[0], p.template
+    L = img * 255.0
+    Xc = se3_apply(T_anchor, xyz)
+    zok = Xc[:, 2] > p.min_z
+    uv = project_points(cam, Xc) * p.coord_scale  # (P, 2) image px
+    u2 = jnp.broadcast_to(uv[:, 0:1], (P_, 2))
+    v2 = jnp.broadcast_to(uv[:, 1:2], (P_, 2))
+    vert2 = jnp.broadcast_to(jnp.asarray([0.0, 1.0], jnp.float32), (P_, 2))
+    win, inb = _axis_window(L, u2, v2, vert2, Wt, -(Wt // 2))  # (P, 2, Wt)
+    contrast = jnp.std(win, axis=-1)
+    tvalid = (
+        zok[:, None]
+        & jnp.all(inb, axis=-1)
+        & (contrast > p.min_contrast)
+        & (validf > 0.5)[:, None]
+    ).astype(jnp.float32)
+    return PointAlignTemplates(p3d=xyz, tmpl=win, tvalid=tvalid)
+
+
+def _search_point_templates(
+    img255: jnp.ndarray,
+    T: jnp.ndarray,
+    tm: PointAlignTemplates,
+    cam: Intrinsics,
+    p: DirectAlignParams,
+):
+    """Slide each point's two axis templates around the projection under T.
+
+    Returns (m (P, 2) measured uv in FULL-RES px, ok (P,) f32 — both axes
+    must pass their gates for the point to constrain the pose)."""
+    Wt, R = p.template, p.search
+    M = 2 * R + 1
+    Xc = se3_apply(T, tm.p3d)
+    zok = Xc[:, 2] > p.min_z
+    uv = project_points(cam, Xc) * p.coord_scale  # (P, 2) image px
+    P_ = uv.shape[0]
+    u2 = jnp.broadcast_to(uv[:, 0:1], (P_, 2))
+    v2 = jnp.broadcast_to(uv[:, 1:2], (P_, 2))
+    vert2 = jnp.broadcast_to(jnp.asarray([0.0, 1.0], jnp.float32), (P_, 2))
+    span = M - 1 + Wt
+    win, inb = _axis_window(img255, u2, v2, vert2, span, -(R + Wt // 2))  # (P,2,span)
+    delta, cbest, uniq = _slide_zsad(win, inb, tm.tmpl, Wt, M, p.ratio)  # (P, 2)
+    m = (uv + delta) / p.coord_scale  # full-res px: u from axis 0, v from axis 1
+    ok_axis = (
+        uniq
+        & (cbest < p.max_cost)
+        & (tm.tvalid > 0.5)
+        & (jnp.abs(delta) < float(R))
+    )
+    ok = (jnp.all(ok_axis, axis=-1) & zok).astype(jnp.float32)
+    return m, ok
+
+
 def _gn_pose(
     T0: jnp.ndarray,
     plucker: jnp.ndarray,
@@ -238,11 +335,17 @@ def _gn_pose(
     w_ok: jnp.ndarray,
     cam: Intrinsics,
     p: DirectAlignParams,
+    pts3d: jnp.ndarray = None,
+    m_p: jnp.ndarray = None,
+    w_p: jnp.ndarray = None,
 ):
     """Gauss-Newton over the left-perturbation pose tangent, point-to-
-    projected-line residuals, Huber IRLS. Returns (T, r_final (A, S))."""
+    projected-line residuals (+ optional 2-DoF point reprojection residuals
+    for the hybrid chunk mode), Huber IRLS. Returns
+    (T, r_final (A, S), rp_final (P, 2) or None)."""
     KL = line_projection_matrix(cam)
     mh = jnp.concatenate([m, jnp.ones_like(m[..., :1])], axis=-1)  # (A, S, 3)
+    hybrid = pts3d is not None
 
     def res_all(xi, T):
         Tx = se3_retract(T, xi)
@@ -250,6 +353,15 @@ def _gn_pose(
         l = (KL @ L_c[:, :3, None])[..., 0]  # (A, 3)
         norm = jnp.sqrt(l[:, 0] ** 2 + l[:, 1] ** 2 + _EPS)
         return jnp.einsum("asc,ac->as", mh, l) / norm[:, None]  # (A, S)
+
+    def res_pts(xi, T):
+        Tx = se3_retract(T, xi)
+        Xc = se3_apply(Tx, pts3d)
+        # clamp depth away from the camera plane: an outlier point swinging
+        # behind the camera must not inject inf/NaN into the normal eqs
+        # (its weight is ~0 but 0*inf = NaN)
+        Xc = Xc.at[:, 2].set(jnp.maximum(Xc[:, 2], 1e-3))
+        return project_points(cam, Xc) - m_p  # (P, 2) full-res px
 
     def gn_iter(T, _):
         z6 = jnp.zeros((6,), jnp.float32)
@@ -261,6 +373,17 @@ def _gn_pose(
         wf = w.reshape(-1)
         H = Jf.T @ (Jf * wf[:, None])
         b = Jf.T @ (wf * rf)
+        if hybrid:
+            rp = res_pts(z6, T)  # (P, 2)
+            Jp = jax.jacfwd(res_pts)(z6, T)  # (P, 2, 6)
+            wp = w_p[:, None] * jnp.minimum(
+                1.0, p.huber_px / jnp.maximum(jnp.abs(rp), _EPS)
+            )
+            Jpf = Jp.reshape(-1, 6)
+            rpf = rp.reshape(-1)
+            wpf = wp.reshape(-1)
+            H = H + Jpf.T @ (Jpf * wpf[:, None])
+            b = b + Jpf.T @ (wpf * rpf)
         lam = 1e-4 * jnp.trace(H) / 6.0 + 1e-6
         xi = -jnp.linalg.solve(H + lam * jnp.eye(6, dtype=H.dtype), b)
         # guard: a degenerate system (too few constraints) must not launch
@@ -270,8 +393,10 @@ def _gn_pose(
         return se3_retract(T, xi), None
 
     T, _ = jax.lax.scan(gn_iter, T0, None, length=p.gn_iters)
-    r = res_all(jnp.zeros((6,), jnp.float32), T)
-    return T, r
+    z6 = jnp.zeros((6,), jnp.float32)
+    r = res_all(z6, T)
+    rp = res_pts(z6, T) if hybrid else None
+    return T, r, rp
 
 
 def align_frame_body(
@@ -292,12 +417,44 @@ def align_frame_body(
     T = T_pred
     for _ in range(max(1, p.rounds)):
         m, ok = _search_templates(img255, T, tm, cam, p)
-        T, r = _gn_pose(T, plucker, m, ok, cam, p)
+        T, r, _ = _gn_pose(T, plucker, m, ok, cam, p)
     good = ok * (jnp.abs(r) < p.max_res_px).astype(jnp.float32)  # (A, S)
     line_good = (jnp.sum(good, axis=-1) >= float(p.min_line_samples)).astype(
         jnp.float32
     )
     return T, jnp.sum(good), jnp.sum(line_good)
+
+
+def align_frame_hybrid_body(
+    img: jnp.ndarray,
+    T_pred: jnp.ndarray,
+    plucker: jnp.ndarray,
+    tm: AlignTemplates,
+    tm_p: PointAlignTemplates,
+    cam: Intrinsics,
+    p: DirectAlignParams,
+):
+    """Hybrid semi-direct frame: line + point template search, ONE joint
+    Gauss-Newton per round. Returns (T_new, n_samples_good, n_units_good)
+    where a unit is an aligned line OR an aligned point — the acceptance
+    analog of a tracked inlier landmark (SURVEY §3.1 MapPoint in the
+    headline chunk mode)."""
+    img255 = img * 255.0
+    T = T_pred
+    for _ in range(max(1, p.rounds)):
+        m, ok = _search_templates(img255, T, tm, cam, p)
+        m_p, ok_p = _search_point_templates(img255, T, tm_p, cam, p)
+        T, r, rp = _gn_pose(
+            T, plucker, m, ok, cam, p, pts3d=tm_p.p3d, m_p=m_p, w_p=ok_p
+        )
+    good_l = ok * (jnp.abs(r) < p.max_res_px).astype(jnp.float32)  # (A, S)
+    line_good = (jnp.sum(good_l, axis=-1) >= float(p.min_line_samples)).astype(
+        jnp.float32
+    )
+    good_p = ok_p * jnp.all(jnp.abs(rp) < p.max_res_px, axis=-1).astype(jnp.float32)
+    n_samp = jnp.sum(good_l) + 2.0 * jnp.sum(good_p)
+    n_units = jnp.sum(line_good) + jnp.sum(good_p)
+    return T, n_samp, n_units
 
 
 @partial(jax.jit, static_argnums=(4, 5))

@@ -88,6 +88,34 @@ def __fused_semidirect_warm(cam, fe, sc, sf, oc, NL, rng, chunk, sd, ap):
     ).packed
 
 
+def __fused_semidirect_hybrid_warm(
+    cam, fe, sc, sf, oc, NL, NP, rng, chunk, sd, sdp, pp, ap
+):
+    import jax.numpy as jnp
+
+    from tpuslam.frontend.frame import prescaled_shape
+    from tpuslam.frontend.pipeline import fused_stereo_semidirect_hybrid
+
+    H, W = prescaled_shape(cam.height, cam.width, fe)
+    frames = (rng.random((chunk + 1, H, W)) * 255).astype(np.uint8)
+    T = jnp.eye(4, dtype=jnp.float32)
+    local = dict(
+        plucker=jnp.asarray(rng.standard_normal((NL, 6)), jnp.float32),
+        ep3d=jnp.asarray(rng.standard_normal((NL, 2, 3)) + [0, 0, 6.0], jnp.float32),
+        bits=jnp.asarray(rng.integers(0, 2**31, (NL, 8)), jnp.uint32),
+        valid=jnp.ones(NL, jnp.float32),
+    )
+    plocal = dict(
+        xyz=jnp.asarray(rng.standard_normal((NP, 3)) + [0, 0, 6.0], jnp.float32),
+        bits=jnp.asarray(rng.integers(0, 2**31, (NP, 8)), jnp.uint32),
+        valid=jnp.ones(NP, jnp.float32),
+    )
+    return fused_stereo_semidirect_hybrid(
+        jnp.asarray(frames), T, T, local, plocal, cam.fx * cam.baseline,
+        cam, fe, sc, sf, oc, 8, sd=sd, sdp=sdp, pp=pp, ap=ap,
+    ).packed
+
+
 def __inject_align(ap, fe):
     """Mirror the Tracker's dispatch-time coord_scale injection so the
     warmed semi-direct program IS the production program."""
@@ -120,6 +148,9 @@ def warmup_tracking(
     direct_stereo=None,
     chunk: int = 1,
     semidirect=None,  # DirectAlignParams: warm the semi-direct chunk program
+    points=None,  # PointFrontendParams: warm the HYBRID variants
+    direct_points=None,  # DirectPointStereoParams (defaults mirror Tracker)
+    point_local_capacity: int = 512,
     with_mapping: bool = True,
     ba_caps=((8, 128, 512), (16, 256, 1024), (24, 512, 2048), (24, 1024, 4096)),
     fuse_search=None,  # MapperConfig.fuse_search: warm the mapper's in-
@@ -171,6 +202,15 @@ def warmup_tracking(
         from tpuslam.kernels.stereo_direct import inject_coord_scale
 
         direct_stereo = inject_coord_scale(direct_stereo, fe.base_scale, fe.prescaled)
+    if points is not None:
+        from tpuslam.kernels.stereo_direct import (
+            DirectPointStereoParams,
+            inject_coord_scale,
+        )
+
+        direct_points = inject_coord_scale(
+            direct_points or DirectPointStereoParams(), fe.base_scale, fe.prescaled
+        )
 
     def feat():
         return FrameFeatures(
@@ -224,7 +264,27 @@ def warmup_tracking(
                     __inject_align(semidirect, fe),
                 ),
             )]
-            if chunk > 1 and direct_stereo is not None and semidirect is not None
+            if chunk > 1
+            and direct_stereo is not None
+            and semidirect is not None
+            and points is None
+            else []
+        ),
+        # the HYBRID semi-direct chunk program (anchor tracks lines+points,
+        # followers align photometrically against both families)
+        *(
+            [(
+                f"fused_semidirect_hybrid_{chunk}",
+                lambda: __fused_semidirect_hybrid_warm(
+                    cam, fe, sc, sf, oc, NL, point_local_capacity, rng, chunk,
+                    direct_stereo, direct_points, points,
+                    __inject_align(semidirect, fe),
+                ),
+            )]
+            if chunk > 1
+            and direct_stereo is not None
+            and semidirect is not None
+            and points is not None
             else []
         ),
         *(
