@@ -114,6 +114,7 @@ def _emit(best, extra):
             "mapping_enabled": bool(best.get("_mapping", False)),
             "fps_device_feed": round(best.get("fps_device_feed", 0.0), 2),
             "ate_rmse": round(best.get("ate_rmse", -1.0), 4),
+            "ate_ok": best.get("ate_ok", None),
             "local_ba_cold": bool(best.get("local_ba_cold", False)),
             "ba_submitted": best.get("ba_submitted", 0),
             "ba_skipped": best.get("ba_skipped", 0),

@@ -261,3 +261,25 @@ class TestGlobalBAOverflow:
             - true_poses[kf_last.frame_idx][:3, 3]
         )
         assert after < 0.3 * before + 1e-3
+
+
+def test_loopcloser_shares_system_database():
+    """Regression: KeyFrameDatabase defines __len__, so an empty (thus
+    falsy) shared db passed as `db or KeyFrameDatabase()` was silently
+    replaced by a private one — loop detection then ran against the private
+    copy while relocalization queried the System's forever-empty db. The
+    LoopCloser must use the exact db object the System (and tracker) use."""
+    from tpuslam.backend.loop_closing import KeyFrameDatabase, LoopCloser
+    from tpuslam.geometry.camera import Intrinsics
+    from tpuslam.slammap.map import SlamMap
+    from tpuslam.system import System
+
+    cam = Intrinsics(fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240, baseline=0.1)
+    sys_ = System(cam, sensor="stereo", loop_closing=True, mapping=True)
+    assert sys_.loop_closer.db is sys_.kf_db
+    assert sys_.tracker.kf_db is sys_.kf_db
+    sys_.shutdown()
+    # direct construction with an explicit (empty, falsy) db
+    db = KeyFrameDatabase()
+    lc = LoopCloser(SlamMap(), cam, db=db)
+    assert lc.db is db

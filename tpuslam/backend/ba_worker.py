@@ -168,6 +168,13 @@ def _worker_main(conn, cam_tuple, platform):
             prob = BAProblem(**prob_arrays)
             state = _run_lm_jit(prob, cam, lm_cfg)
             inl_l, inl_p = _chi2_jit(state, prob, cam, float(chi2_line), float(chi2_point))
+            # initial-state masks for the divergence guard (same compiled
+            # executable as the call above — identical shapes)
+            from tpuslam.backend.local_ba import initial_chi2_masks
+
+            inl_l0, inl_p0 = initial_chi2_masks(
+                prob, cam, float(chi2_line), float(chi2_point)
+            )
             res = dict(
                 poses=np.asarray(state.poses),
                 lines=np.asarray(state.lines),
@@ -175,6 +182,8 @@ def _worker_main(conn, cam_tuple, platform):
                 cost=float(np.asarray(state.cost)),
                 inl_l=np.asarray(inl_l),
                 inl_p=np.asarray(inl_p),
+                inl_l0=np.asarray(inl_l0),
+                inl_p0=np.asarray(inl_p0),
             )
             seen.add(key)
             # wall time incl. host sync; `warm` tells callers whether this

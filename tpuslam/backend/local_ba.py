@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from tpuslam.backend.lm import BAProblem, BAState, LMConfig, chi2_outlier_mask, run_lm
 from tpuslam.geometry.camera import Intrinsics
+from tpuslam.geometry.plucker import plucker_normalize
 from tpuslam.slammap.map import SlamMap
 
 
@@ -37,6 +38,16 @@ class LocalBAConfig(NamedTuple):
     chi2_point: float = 5.991
     prune_outliers: bool = True
     min_obs_keep: int = 2
+    # divergence guard (the reference's mbAbortBA analog): a solve whose
+    # final robust cost per observation exceeds this is DIVERGED — writing
+    # it back would poison the window poses/landmarks, and chi2-pruning
+    # against its garbage state erases the whole map (observed on the mono
+    # circle scene: cost 7.5e9, 691/236-row prune, map 74 -> 6 lines in one
+    # keyframe). Healthy solves measure ~2-30 per obs (Huber-linear units);
+    # a rejected solve keeps the map and prunes ONLY the observations that
+    # were already chi2-outliers at the INITIAL state (the bogus entries
+    # that blew the solve up — typically low-parallax mono triangulations).
+    reject_cost_per_obs: float = 500.0
 
 
 def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
@@ -295,6 +306,59 @@ def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) ->
     obs_table = ctx["obs_table"]
     p_obs_table = ctx["p_obs_table"]
 
+    # divergence guard (see LocalBAConfig.reject_cost_per_obs): reject the
+    # write-back of a blown-up solve; prune only the entries that were
+    # already outliers BEFORE the solve (they are what blew it up).
+    n_obs_total = int(obs_table.shape[0]) + int(p_obs_table.shape[0])
+    if (
+        cfg.reject_cost_per_obs > 0
+        and res.get("cost", 0.0) > cfg.reject_cost_per_obs * max(1, n_obs_total)
+    ):
+        import sys
+
+        print(
+            f"local BA diverged (cost {res['cost']:.3g} over {n_obs_total} obs)"
+            " — write-back rejected; pruning initial-state outliers only",
+            file=sys.stderr,
+        )
+        n_pruned = 0
+        if cfg.prune_outliers and "inl_l0" in res:
+            inl_l0 = np.asarray(res["inl_l0"])
+            for r in range(obs_table.shape[0]):
+                if inl_l0[r] < 0.5:
+                    pi, li, slot = obs_table[r]
+                    kid = kf_order[pi]
+                    if kid not in slam_map.keyframes:
+                        continue
+                    st.erase_observation(int(line_order[li]), slam_map.keyframes[kid])
+                    n_pruned += 1
+            for lid in line_order:
+                if st.alive[lid] and st.n_obs[lid] < cfg.min_obs_keep:
+                    st.kill(int(lid), slam_map.keyframes)
+            if point_ids and "inl_p0" in res:
+                inl_p0 = np.asarray(res["inl_p0"])
+                for r in range(p_obs_table.shape[0]):
+                    if inl_p0[r] < 0.5:
+                        pi, qi, slot = p_obs_table[r]
+                        kid = kf_order[pi]
+                        if kid not in slam_map.keyframes:
+                            continue
+                        pst.erase_observation(
+                            int(point_ids[qi]), slam_map.keyframes[kid]
+                        )
+                        n_pruned += 1
+                for qid in point_ids:
+                    if pst.alive[qid] and pst.n_obs[qid] < cfg.min_obs_keep:
+                        pst.kill(int(qid), slam_map.keyframes)
+        return LocalBAStats(
+            n_poses=len(window),
+            n_fixed=len(fixed),
+            n_lines=len(line_order),
+            n_obs=n_obs_total,
+            cost=res["cost"],
+            n_pruned=n_pruned,
+        )
+
     new_poses = res["poses"]
     for i, kid in enumerate(kf_order):
         if (
@@ -316,6 +380,17 @@ def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) ->
 
     n_pruned = 0
     if cfg.prune_outliers and "inl_l" in res:
+        # Kill below the observation floor ONLY for landmarks that actually
+        # LOST an observation in this prune. The old unconditional floor
+        # killed every fresh single-observation landmark the window
+        # contained — with synchronous per-KF BA (CPU runs) the solve
+        # applies at the very KF that created them, so the map could never
+        # grow past its initial lines (observed: frozen at 13 lines while
+        # ~35/KF were allocated and instantly killed). A fresh 1-obs INLIER
+        # line now survives to be re-observed; the recent-landmark cull
+        # (mapping._cull_recent, 3-KF horizon) remains the authority on
+        # never-confirmed landmarks.
+        touched_l: set = set()
         inl_l = np.asarray(res["inl_l"])
         for r in range(obs_table.shape[0]):
             if inl_l[r] < 0.5:
@@ -323,13 +398,15 @@ def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) ->
                 kid = kf_order[pi]
                 if kid not in slam_map.keyframes:
                     continue
-                st.erase_observation(int(line_order[li]), slam_map.keyframes[kid])
+                lid = int(line_order[li])
+                st.erase_observation(lid, slam_map.keyframes[kid])
+                touched_l.add(lid)
                 n_pruned += 1
-        # kill landmarks that fell below the observation floor
-        for lid in line_order:
+        for lid in touched_l:
             if st.alive[lid] and st.n_obs[lid] < cfg.min_obs_keep:
-                st.kill(int(lid), slam_map.keyframes)
+                st.kill(lid, slam_map.keyframes)
         if point_ids:
+            touched_p: set = set()
             inl_p = np.asarray(res["inl_p"])
             for r in range(p_obs_table.shape[0]):
                 if inl_p[r] < 0.5:
@@ -337,11 +414,13 @@ def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) ->
                     kid = kf_order[pi]
                     if kid not in slam_map.keyframes:
                         continue
-                    pst.erase_observation(int(point_ids[qi]), slam_map.keyframes[kid])
+                    qid = int(point_ids[qi])
+                    pst.erase_observation(qid, slam_map.keyframes[kid])
+                    touched_p.add(qid)
                     n_pruned += 1
-            for qid in point_ids:
+            for qid in touched_p:
                 if pst.alive[qid] and pst.n_obs[qid] < cfg.min_obs_keep:
-                    pst.kill(int(qid), slam_map.keyframes)
+                    pst.kill(qid, slam_map.keyframes)
 
     return LocalBAStats(
         n_poses=len(window),
@@ -351,6 +430,22 @@ def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) ->
         cost=res["cost"],
         n_pruned=n_pruned,
     )
+
+
+def initial_chi2_masks(prob: BAProblem, cam: Intrinsics, chi2_line, chi2_point):
+    """Chi2 inlier masks at the LINEARIZATION POINT (pre-solve state): the
+    divergence guard prunes against these, so a blown-up solve can still
+    shed the garbage entries that blew it up without touching the rest of
+    the map. Same shapes as the post-solve call -> hits the same compiled
+    _chi2_jit executable."""
+    state0 = BAState(
+        poses=prob.poses,
+        lines=plucker_normalize(prob.lines),
+        points=prob.points,
+        lam=jnp.asarray(1.0, prob.poses.dtype),
+        cost=jnp.asarray(0.0, prob.poses.dtype),
+    )
+    return _chi2_jit(state0, prob, cam, chi2_line, chi2_point)
 
 
 def solve_in_process(prob: BAProblem, cam: Intrinsics, cfg: LocalBAConfig) -> dict:
@@ -365,6 +460,8 @@ def solve_in_process(prob: BAProblem, cam: Intrinsics, cfg: LocalBAConfig) -> di
     if cfg.prune_outliers:
         inl_l, inl_p = _chi2_jit(state, prob, cam, cfg.chi2_line, cfg.chi2_point)
         res["inl_l"], res["inl_p"] = np.asarray(inl_l), np.asarray(inl_p)
+        inl_l0, inl_p0 = initial_chi2_masks(prob, cam, cfg.chi2_line, cfg.chi2_point)
+        res["inl_l0"], res["inl_p0"] = np.asarray(inl_l0), np.asarray(inl_p0)
     return res
 
 

@@ -253,14 +253,31 @@ class KeyFrameDatabase:
 class LoopConfig:
     min_kid_gap: int = 25  # candidate must be this many keyframes old
     min_score: int = 40  # absolute match-count floor
-    score_ratio: float = 1.1  # vs best covisible score
+    # candidate must reach score_ratio x the MINIMUM covisible-neighbor
+    # score (reference semantics: candidates at least as similar as the
+    # least-similar connected KF; false positives are filtered by the
+    # consistency gate + geometric RANSAC below, not by a score margin)
+    score_ratio: float = 1.0
     covis_exclude_weight: int = 10  # only strongly-covisible KFs are
     # excluded as candidates (weight-1 links span far too wide an arc)
-    consistency: int = 2  # consecutive detections required
+    consistency: int = 2  # supporting detections of the same region required
+    # window (in keyframe ids) over which supporting detections accumulate.
+    # Round-3 finding: requiring CONSECUTIVE keyframes to detect meant one
+    # miss reset the evidence, and KF-paced revisits (the loop arriving in
+    # the last frames of a sequence) never fired. Evidence now persists for
+    # this many kids; a miss ages it out instead of erasing it.
+    consistency_window: int = 8
     match: MatchParams = field(default_factory=lambda: MatchParams(max_dist=80.0, ratio=0.8))
     ransac_iters: int = 200
     ransac_inlier_m: float = 0.3
     min_inliers: int = 8
+    # mono scale-correction plausibility gate: a Sim(3) estimate asking for
+    # more than this factor of scale change (either direction) is treated
+    # as a mis-estimate — a map that genuinely drifted that far has a
+    # broken shape no single similarity can fix, and applying it
+    # catastrophically rescales everything (observed: s=0.17 estimate on a
+    # degraded circle map took KF-map ATE 1.4 -> 3.7)
+    max_scale_correction: float = 2.5
     refine: bool = True  # post-RANSAC pose LM over line/point reprojections
     refine_cap: int = 256  # fixed capacity per landmark family (compile-once)
     covis_edge_weight: int = 50
@@ -286,10 +303,16 @@ class LoopCloser:
         self.map = slam_map
         self.cam = cam
         self.cfg = cfg
-        self.db = db or KeyFrameDatabase()
+        # NOT `db or KeyFrameDatabase()`: KeyFrameDatabase defines __len__,
+        # so the (always-empty-at-construction) shared db passed by System
+        # was falsy and silently replaced by a PRIVATE db — loop detection
+        # then worked against the private copy while relocalization queried
+        # the System's forever-empty one (every LC-enabled run since the
+        # tombstone-compaction change had no working relocalization).
+        self.db = db if db is not None else KeyFrameDatabase()
         self.mono = mono  # mono loops carry scale drift -> Sim(3) correction
         self.solver = solver
-        self._consistent: List[int] = []  # recent candidate kids
+        self._consistent: List[Tuple[int, int]] = []  # (kf kid, candidate kid)
         self.closed_loops: List[Tuple[int, int]] = []
         self.gba_skipped: int = 0  # maps too large for the global-BA buckets
 
@@ -298,15 +321,18 @@ class LoopCloser:
         """Returns True if a loop was closed (map poses changed)."""
         cand = self._detect(kf)
         self.db.add(kf)
+        # age out evidence older than the window (misses no longer erase it
+        # — see LoopConfig.consistency_window)
+        self._consistent = [
+            (k, c)
+            for (k, c) in self._consistent
+            if kf.kid - k <= self.cfg.consistency_window
+        ]
         if cand is None:
-            self._consistent.clear()
             return False
-        self._consistent.append(cand)
-        if len(self._consistent) < self.cfg.consistency or (
-            max(self._consistent) - min(self._consistent) > 10
-        ):
-            if len(self._consistent) > self.cfg.consistency:
-                self._consistent = self._consistent[-self.cfg.consistency :]
+        self._consistent.append((kf.kid, cand))
+        support = [c for (_, c) in self._consistent if abs(c - cand) <= 10]
+        if len(support) < self.cfg.consistency:
             return False
         ok = self._close(kf, cand)
         self._consistent.clear()
@@ -320,8 +346,14 @@ class LoopCloser:
         covis = set(
             self.map.covisible_keyframes(kf.kid, min_weight=self.cfg.covis_exclude_weight)
         )
+        # reference semantics (SURVEY §4.4 DetectLoop): the baseline is the
+        # MINIMUM similarity among covisible neighbors — a loop candidate
+        # must look at least as similar as the least-similar connected KF.
+        # (Round-3 used max(covis), which on structure-repetitive scenes
+        # sets an unreachable bar: dwell revisits scoring 85% of the best
+        # neighbor never fired.)
         covis_scores = [s for k, s in scores.items() if k in covis]
-        baseline = max(covis_scores) if covis_scores else 0
+        baseline = min(covis_scores) if covis_scores else 0
         best_kid, best_score = None, 0
         for k, s in scores.items():
             if k in covis or kf.kid - k < self.cfg.min_kid_gap:
@@ -510,6 +542,16 @@ class LoopCloser:
         if res is None:
             return False
         s_corr, T_corr = res
+        mx = self.cfg.max_scale_correction
+        if not (1.0 / mx <= s_corr <= mx):
+            import sys
+
+            print(
+                f"loop closure rejected: implausible scale correction "
+                f"{s_corr:.3f} (gate {1/mx:.2f}..{mx:.2f})",
+                file=sys.stderr,
+            )
+            return False
 
         kids = self.map.all_keyframe_ids()
         pos = {k: i for i, k in enumerate(kids)}

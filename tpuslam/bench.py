@@ -129,14 +129,14 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         from tpuslam.frontend.points import PointFrontendParams
 
         tcfg.points = PointFrontendParams()
-    # pin the BA bucket ladder to ONE rung that covers a bench-scale run:
-    # every production solve then compiles exactly one program, the warmer
-    # compiles exactly that program, and the solver pretouch makes the first
-    # real solve warm. (Multiple rungs = multiple ~90 s trace+cache-load
-    # passes per attempt; the bigger buckets take minutes of remote compile
-    # and their warmer CONTENDS on the serialized tunnel with every timed
-    # dispatch.)
-    os.environ.setdefault("TPUSLAM_BA_WARM_CAPS", "16,256,1024")
+    # bound the BA bucket ladder to TWO rungs: the small rung most
+    # bench-scale windows fit (restoring the judged local-BA ms/KF metric
+    # that round 3's single big rung traded away — 165-198 ms at
+    # (16,256,1024) vs 31-40 ms at (8,128,512)), plus the big rung as the
+    # overflow. `ladder_bucket` picks the smallest fitting rung per solve;
+    # the pretouch below compiles both, and with the persistent BA cache
+    # (TPUSLAM_BA_CACHE_DIR) each rung's compile is paid once per machine.
+    os.environ.setdefault("TPUSLAM_BA_WARM_CAPS", "8,128,512;16,256,1024")
     # no background warmer: with a single rung the solver PRETOUCH below
     # fills both the persistent cache and the solver's own jit cache — a
     # parallel warmer process would just re-pay the same trace+load on this
@@ -319,6 +319,18 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
                 [np.linalg.inv(scene.poses[r.frame_idx])[:3, 3] for r in traj]
             )
             out["ate_rmse"] = float(absolute_trajectory_error(est, gt).rmse)
+            # accuracy guardrail (VERDICT r4 item 5): the speed ladder must
+            # not silently buy fps with accuracy. The bench scene is seeded,
+            # so the sync/full-detection reference ATE is a constant of the
+            # scene (0.019-0.024 across the recorded BASELINE.md rows);
+            # flag any chunked/semi-direct run drifting past 1.5x it.
+            ref = float(os.environ.get("TPUSLAM_BENCH_ATE_REF", "0.024"))
+            out["ate_ok"] = bool(out["ate_rmse"] <= 1.5 * ref)
+            if not out["ate_ok"]:
+                log(
+                    f"bench: ACCURACY REGRESSION: ate {out['ate_rmse']:.4f} "
+                    f"> 1.5 x ref {ref:.4f}"
+                )
     except Exception as e:  # accuracy reporting must not kill the bench
         log(f"bench: shutdown/ate failed: {e}")
 
@@ -329,6 +341,10 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         mp_ = sys_.mapper
         if mp_.solve_ms:
             out["local_ba_ms"] = float(np.median(mp_.solve_ms))
+            out["local_ba_ms_by_rung"] = {
+                "x".join(map(str, k)): round(float(np.median(v)), 1)
+                for k, v in mp_.solve_ms_by_rung.items()
+            }
         elif mp_.cold_solve_ms:
             # every solve this run paid a first-touch bucket compile; report
             # the least-polluted one rather than 0/absent, and say so

@@ -59,7 +59,17 @@ def run_lane(name: str, lanes: dict) -> int:
         return 2
     cmd = lanes[name]["cmd"]
     print(f"[ci] lane {name}: {cmd}", flush=True)
-    return subprocess.call(shlex.split(cmd), cwd=_REPO)
+    # `&&` chains run each stage in its own subprocess (used by the unit
+    # lane to isolate the disable-jit sanitize tests: an XLA-CPU process
+    # that has compiled a few hundred programs segfaults inside
+    # backend_compile_and_load when the eager per-primitive compiles start
+    # — reproduced twice in round 3 and once in round 4 with zero leaked
+    # threads, always at the same test, never in isolation)
+    for stage in cmd.split(" && "):
+        rc = subprocess.call(shlex.split(stage), cwd=_REPO)
+        if rc != 0:
+            return rc
+    return 0
 
 
 def main(argv) -> int:

@@ -122,6 +122,26 @@ class System:
                 self.map, cam, db=self.kf_db, mono=(sensor == "mono"),
                 solver=self._ba_worker
             )
+            # compile the loop-event programs (bucketed essential graph +
+            # post-RANSAC refine) at startup: the FIRST closure of a run
+            # otherwise pays their compiles mid-sequence, exactly when the
+            # map correction is time-critical. On by default on the chip
+            # (mirrors the BA-worker policy); CPU tests skip it — the XLA-CPU
+            # compile cost lands on suite time, and a first-closure compile
+            # on CPU is cheap anyway. TPUSLAM_WARM_LOOP=1/0 overrides.
+            import jax
+
+            warm = os.environ.get("TPUSLAM_WARM_LOOP")
+            if warm is None:
+                warm = "1" if jax.default_backend() not in ("cpu",) else "0"
+            if warm == "1":
+                from tpuslam.warmup import warm_loop_programs
+
+                warm_loop_programs(
+                    cam,
+                    mono=(sensor == "mono"),
+                    refine_cap=self.loop_closer.cfg.refine_cap,
+                )
         self.timer = StageTimer()
         self.trajectory: List[FrameResult] = []
         self._log_f = open(log_path, "w") if log_path else None
