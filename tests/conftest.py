@@ -26,8 +26,16 @@ if not os.environ.get("TPUSLAM_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
     # Single-core build machine: XLA CPU compiles of the big fused programs
-    # dominate suite time. Persist them across test processes.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpuslam")
+    # dominate suite time. Persist them across test processes — keyed by a
+    # host-CPU fingerprint: the box's CPU changes between sessions, and a
+    # cache written on a different machine SEGFAULTS when read (the
+    # round-3/4 full-suite crash inside compilation_cache._cache_read /
+    # backend_compile_and_load; see tpuslam.host_cache_tag).
+    from tpuslam import host_cache_tag
+
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/jax_cache_tpuslam_{host_cache_tag()}"
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -30,13 +30,43 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 # TPUSLAM_COMPILE_CACHE="".
 import os as _os
 
+
+def host_cache_tag() -> str:
+    """Short fingerprint of the host CPU, for machine-keyed cache dirs.
+
+    The build box's CPU model/features CHANGE between sessions, and a
+    persistent XLA:CPU cache written on one machine SEGFAULTS when read on
+    another (reproduced twice: crash inside compilation_cache
+    get_executable_and_time / backend_compile_and_load, preceded by
+    cpu_aot_loader 'machine type ... doesn't match' warnings — the
+    round-3/4 full-suite segfault). Keying every cache path by this tag
+    makes a machine change start a fresh cache instead of reading
+    incompatible AOT executables."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            txt = f.read()
+        lines = [
+            l for l in txt.splitlines() if l.startswith(("model name", "flags"))
+        ]
+        key = "|".join(sorted(set(lines)))
+    except OSError:
+        import platform
+
+        key = platform.processor() + platform.machine()
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
 _cache = _os.environ.get("TPUSLAM_COMPILE_CACHE", "/tmp/tpuslam_cache")
 if _cache and not (
     _os.environ.get("JAX_COMPILATION_CACHE_DIR")
     or _jax.config.jax_compilation_cache_dir
 ):
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update(
+            "jax_compilation_cache_dir", f"{_cache}_{host_cache_tag()}"
+        )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without the knobs
         pass

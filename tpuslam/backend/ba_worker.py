@@ -45,8 +45,14 @@ import numpy as np
 def _enable_persistent_cache(jax):
     cache_dir = os.environ.get("TPUSLAM_BA_CACHE_DIR", "/tmp/tpuslam_ba_cache")
     if cache_dir:  # persistent executable cache: bucket compiles are paid
-        try:  # once per MACHINE, not once per worker incarnation
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        try:  # once per MACHINE, not once per worker incarnation —
+            # machine-keyed because a cache written by a different host CPU
+            # segfaults on read (tpuslam.host_cache_tag)
+            from tpuslam import host_cache_tag
+
+            jax.config.update(
+                "jax_compilation_cache_dir", f"{cache_dir}_{host_cache_tag()}"
+            )
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass  # older jax without the knob: compile as before

@@ -69,6 +69,34 @@ class TrackingState(enum.Enum):
     LOST = 2
 
 
+@jax.jit
+def _unpack_local_jit(buf):
+    """Device unpack of the single-buffer local-LINE-map upload (see
+    _local_map_arrays): [plucker 6 | ep3d 6 | bits_lo 8 | bits_hi 8 |
+    valid 1] per row, desc_bits recombined from exact u16 halves."""
+    NL = buf.shape[0]
+    lo = buf[:, 12:20].astype(jnp.uint32)
+    hi = buf[:, 20:28].astype(jnp.uint32)
+    return dict(
+        plucker=buf[:, :6],
+        ep3d=buf[:, 6:12].reshape(NL, 2, 3),
+        bits=lo | (hi << jnp.uint32(16)),
+        valid=buf[:, 28],
+    )
+
+
+@jax.jit
+def _unpack_plocal_jit(buf):
+    """Point-map analog: [xyz 3 | bits_lo 8 | bits_hi 8 | valid 1]."""
+    lo = buf[:, 3:11].astype(jnp.uint32)
+    hi = buf[:, 11:19].astype(jnp.uint32)
+    return dict(
+        xyz=buf[:, :3],
+        bits=lo | (hi << jnp.uint32(16)),
+        valid=buf[:, 19],
+    )
+
+
 def _img_f32(img: np.ndarray) -> np.ndarray:
     """Accept u8 (0..255) or f32 (0..1) frames; return f32 in [0, 1]."""
     img = np.asarray(img)
@@ -1204,11 +1232,18 @@ class Tracker:
         self._plocal_ids = ids
         self._plocal_valid = valid > 0.5
         st = self.map.points
-        self._plocal_dev = dict(
-            xyz=jnp.asarray(st.xyz[ids]),
-            bits=jnp.asarray(st.desc_bits[ids]),
-            valid=jnp.asarray(valid),
+        # single-upload + device unpack (see _local_map_arrays)
+        bits = st.desc_bits[ids]
+        buf = np.concatenate(
+            [
+                st.xyz[ids].astype(np.float32),
+                (bits & 0xFFFF).astype(np.float32),
+                (bits >> 16).astype(np.float32),
+                valid[:, None],
+            ],
+            axis=1,
         )
+        self._plocal_dev = _unpack_plocal_jit(jnp.asarray(buf))
         self._plocal_dirty = False
         return self._plocal_dev
 
@@ -1777,11 +1812,23 @@ class Tracker:
         self._local_ids = ids
         self._local_valid = valid > 0.5
         st = self.map.lines
-        self._local_dev = dict(
-            plucker=jnp.asarray(st.plucker[ids]),
-            ep3d=jnp.asarray(st.endpoints[ids]),
-            bits=jnp.asarray(st.desc_bits[ids]),
-            valid=jnp.asarray(valid),
+        # ONE h2d + one device unpack instead of four uploads: every
+        # copy START is a serialized ~2-3 ms wire round trip on the tunnel
+        # (PERF_NOTES), and the window re-uploads at every map change.
+        # desc_bits ride as exact u16 halves (kf_pack rationale: u32 words
+        # bitcast through f32 get denormal-flushed/NaN-canonicalized
+        # in-program on TPU).
+        bits = st.desc_bits[ids]  # (NL, 8) u32
+        buf = np.concatenate(
+            [
+                st.plucker[ids].astype(np.float32),  # (NL, 6)
+                st.endpoints[ids].reshape(NL, 6).astype(np.float32),  # (NL, 2, 3)
+                (bits & 0xFFFF).astype(np.float32),  # (NL, 8)
+                (bits >> 16).astype(np.float32),  # (NL, 8)
+                valid[:, None],  # (NL, 1)
+            ],
+            axis=1,
         )
+        self._local_dev = _unpack_local_jit(jnp.asarray(buf))
         self._local_dirty = False
         return self._local_dev
