@@ -29,6 +29,17 @@ import time
 _DIR = os.path.dirname(os.path.abspath(__file__))
 DEADLINE = float(os.environ.get("TPUSLAM_BENCH_DEADLINE", "1200"))
 HEALTHY_TRACK_MS = float(os.environ.get("TPUSLAM_BENCH_HEALTHY_MS", "100"))
+# Degraded-window signals (VERDICT r4 weak #1): in chunked mode the per-call
+# track median is ~1 ms no matter how sick the tunnel is (C-1 of every C
+# calls just buffer), so the health gate reads the signals that DO expose a
+# degraded window. Healthy floors from the recorded ledger: warm local-BA
+# solve 165-200 ms (BASELINE.md), solver pretouch ~4-6 s/rung cache-warm
+# (PERF_NOTES r3), fps_wall within ~2-4x of fps_device_feed in the healthy
+# 72.5-fps window vs 9x in the degraded BENCH_r04 one.
+BA_HEALTHY_MS = float(os.environ.get("TPUSLAM_BENCH_BA_HEALTHY_MS", "500"))
+PRETOUCH_HEALTHY_S = float(os.environ.get("TPUSLAM_BENCH_PRETOUCH_HEALTHY_S", "45"))
+FEED_RATIO_MIN = float(os.environ.get("TPUSLAM_BENCH_FEED_RATIO_MIN", "0.25"))
+MAX_ATTEMPTS = int(os.environ.get("TPUSLAM_BENCH_ATTEMPTS", "3"))
 # test hooks (artifact-discipline test): swap the sub-bench for a stub and
 # shrink the attempt budgeting so the full driver flow runs in seconds
 _SUB = os.environ.get("TPUSLAM_BENCH_SUB_MODULE", "tpuslam.bench")
@@ -100,6 +111,27 @@ def _fps(res):
     return res.get("fps_wall", res["fps_median"])
 
 
+def _degradation(res):
+    """Window-health verdict for a sub-bench result: list of reasons the
+    window looks degraded (empty = healthy). Chunk-aware — per-call track
+    medians are NOT trusted alone (see the BA_HEALTHY_MS comment above)."""
+    reasons = []
+    ba = res.get("local_ba_ms", 0.0)
+    if res.get("_mapping") and ba > BA_HEALTHY_MS:
+        reasons.append(f"local_ba_ms {ba:.0f} > {BA_HEALTHY_MS:.0f}")
+    feed = res.get("fps_device_feed", 0.0)
+    if feed > 0 and _fps(res) < FEED_RATIO_MIN * feed:
+        reasons.append(
+            f"fps_wall {_fps(res):.1f} < {FEED_RATIO_MIN} x device-feed {feed:.1f}"
+        )
+    pt = res.get("pretouch_total_s", 0.0)
+    if pt > PRETOUCH_HEALTHY_S:
+        reasons.append(f"pretouch {pt:.0f}s > {PRETOUCH_HEALTHY_S:.0f}s")
+    if res.get("track_ms_median", 0.0) > HEALTHY_TRACK_MS:
+        reasons.append(f"track_ms_median {res['track_ms_median']:.0f} > {HEALTHY_TRACK_MS:.0f}")
+    return reasons
+
+
 def _emit(best, extra):
     """Print a complete headline JSON line from whatever has finished."""
     line = {
@@ -118,10 +150,18 @@ def _emit(best, extra):
             "local_ba_cold": bool(best.get("local_ba_cold", False)),
             "ba_submitted": best.get("ba_submitted", 0),
             "ba_skipped": best.get("ba_skipped", 0),
+            "ba_resubmitted": best.get("ba_resubmitted", 0),
             "ba_stale": best.get("ba_stale", 0),
             "device": best.get("device", "?"),
             "keyframes": best.get("keyframes", 0),
             "lines": best.get("lines", 0),
+            # window-health record (VERDICT r4 weak #1/#3): per-rung BA
+            # medians + the degradation signals of the CHOSEN attempt, so
+            # the artifact itself says whether the window was healthy
+            "local_ba_ms_by_rung": best.get("local_ba_ms_by_rung", {}),
+            "warmup_s": best.get("warmup_s", 0.0),
+            "pretouch_s": best.get("pretouch_s", {}),
+            "window_health": best.get("_health", ["not assessed"]) or "healthy",
             **extra,
         },
     }
@@ -136,8 +176,12 @@ def main():
     def log(m):
         print(f"[{time.monotonic()-_T0:6.0f}s] {m}", file=sys.stderr, flush=True)
 
-    # ---- stage 1: mapping-enabled headline (retry once on a degraded roll)
-    for attempt in range(2):
+    # ---- stage 1: mapping-enabled headline. Retry while the window looks
+    # DEGRADED (chunk-aware signals — per-call medians are blind in chunked
+    # mode) and budget remains; keep the best attempt. Every attempt's
+    # health verdict lands in the artifact (detail.attempts).
+    attempts_trail = []
+    for attempt in range(MAX_ATTEMPTS):
         budget = min(800.0, _remaining() - _RESERVE_S)
         if budget < _MIN_ATTEMPT_S:
             log("no budget left for a headline attempt")
@@ -150,6 +194,8 @@ def main():
             )
         except (RuntimeError, subprocess.TimeoutExpired) as e:
             log(f"headline attempt {attempt} failed: {e}")
+            attempts_trail.append({"fps": 0.0, "health": ["attempt failed"]})
+            extra["attempts"] = attempts_trail
             tail = getattr(e, "stderr", None)
             if tail:
                 if isinstance(tail, bytes):
@@ -157,20 +203,26 @@ def main():
                 log(f"sub-bench stderr tail: {tail[-600:]!r}")
             continue
         res["_mapping"] = True
+        res["_health"] = _degradation(res)
         if res.get("_timed_out"):
             extra["sub_timed_out"] = True
+        attempts_trail.append(
+            {"fps": round(_fps(res), 2), "health": res["_health"] or "healthy"}
+        )
+        extra["attempts"] = attempts_trail
         log(
             f"headline attempt {attempt}: {_fps(res):.2f} fps "
             f"(track {res['track_ms_median']:.1f} ms, "
             f"ba {res.get('local_ba_ms', 0.0):.1f} ms"
             f"{' COLD' if res.get('local_ba_cold') else ''}"
-            f"{' SUB-TIMED-OUT' if res.get('_timed_out') else ''})"
+            f"{' SUB-TIMED-OUT' if res.get('_timed_out') else ''}) "
+            f"window={'healthy' if not res['_health'] else res['_health']}"
         )
         log(f"sub-bench stderr tail: {res.pop('_stderr_tail', '')!r}")
         if best is None or _fps(res) > _fps(best):
             best = res
-            _emit(best, extra)  # artifact exists from this moment on
-        if res["track_ms_median"] <= HEALTHY_TRACK_MS or _remaining() < 400.0:
+        _emit(best, extra)  # artifact exists from this moment on
+        if not res["_health"] or _remaining() < 400.0:
             break
 
     # ---- stage 2: tracking-only secondary (and headline fallback) --------

@@ -97,6 +97,8 @@ def test_subbench_emits_before_late_stages():
     loop; a wedge in any later stage (simulated at 'shutdown') must not
     prevent it. Tiny QVGA scene, mapping off, warmup off — the XLA-CPU
     compiles happen inline in the (untimed-for-this-test) loop."""
+    from tpuslam import host_cache_tag
+
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
@@ -107,7 +109,9 @@ def test_subbench_emits_before_late_stages():
         TPUSLAM_BENCH_DEVFEED="0",
         TPUSLAM_BENCH_CHUNK="1",
         TPUSLAM_BENCH_FAKE_HANG="shutdown",
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_tpuslam",
+        # machine-keyed: an unkeyed shared dir can hold AOT executables from
+        # a different host CPU, the round-3/4 segfault precursor
+        JAX_COMPILATION_CACHE_DIR=f"/tmp/jax_cache_tpuslam_{host_cache_tag()}",
     )
     proc = subprocess.Popen(
         [sys.executable, "-m", "tpuslam.bench"],

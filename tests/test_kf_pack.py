@@ -66,3 +66,20 @@ def test_small_ints_survive():
 def test_empty_tree():
     p = PackedPayload({})
     assert p.unpack() == {}
+
+
+def test_int64_leaf_slot_accounting():
+    """ADVICE r4 low: an np.int64 host leaf is demoted to int32 at the jit
+    boundary (x64 off) and packs into 2 slots; the host-side slot math must
+    see the SAME (canonicalized) dtype or every later leaf's offset is
+    silently wrong. The float32 leaf AFTER the int64 one pins the offsets."""
+    tree = {
+        "a_i64": np.arange(9, dtype=np.int64),
+        "b_f32": np.linspace(-3.0, 3.0, 11).astype(np.float32),
+        "c_u32": _adversarial_u32(),
+    }
+    out = PackedPayload(tree).unpack()
+    assert np.array_equal(np.asarray(out["a_i64"]), tree["a_i64"])
+    assert np.array_equal(np.asarray(out["b_f32"]), tree["b_f32"])
+    assert np.array_equal(np.asarray(out["c_u32"]), tree["c_u32"])
+    assert np.asarray(out["a_i64"]).dtype == np.int64  # host dtype restored

@@ -41,20 +41,37 @@ def host_cache_tag() -> str:
     cpu_aot_loader 'machine type ... doesn't match' warnings — the
     round-3/4 full-suite segfault). Keying every cache path by this tag
     makes a machine change start a fresh cache instead of reading
-    incompatible AOT executables."""
+    incompatible AOT executables.
+
+    Round-4 advisor finding: model-name+flags alone was insufficient —
+    LLVM's subtarget tuning (e.g. +prefer-no-scatter/+prefer-no-gather)
+    derives from the CPUID family/model/stepping heuristics, not just the
+    feature flags, so two hosts with identical flag strings still produced
+    'Machine type ... doesn't match' AOT loads. Include vendor/family/
+    model/stepping (what LLVM's host detection actually keys on) plus the
+    jax/jaxlib versions (serialization format) in the hash."""
     import hashlib
 
     try:
         with open("/proc/cpuinfo") as f:
             txt = f.read()
-        lines = [
-            l for l in txt.splitlines() if l.startswith(("model name", "flags"))
-        ]
+        prefixes = (
+            "vendor_id", "cpu family", "model", "model name", "stepping", "flags",
+        )
+        lines = [l for l in txt.splitlines() if l.startswith(prefixes)]
         key = "|".join(sorted(set(lines)))
     except OSError:
         import platform
 
         key = platform.processor() + platform.machine()
+    import jax as _j
+
+    try:
+        import jaxlib as _jl
+
+        key += f"|jax={_j.__version__}|jaxlib={_jl.__version__}"
+    except ImportError:
+        key += f"|jax={_j.__version__}"
     return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 

@@ -155,11 +155,20 @@ def _worker_main(conn, cam_tuple, platform):
                 inl = _chi2_jit(state, prob, cam, float(chi2_line), float(chi2_point))
                 np.asarray(state.cost)  # TRUE drains (axon block_until_ready
                 np.asarray(inl[0])  # returns at enqueue — PERF_NOTES.md)
+                first_ms = (time.perf_counter() - t0) * 1e3
+                # second run = steady dispatch+solve only; first - steady
+                # isolates the trace+compile/cache-load share so the bench
+                # log can say WHERE pretouch seconds went (VERDICT r4 item 9:
+                # ~4-6 s cache-warm vs 30+ s = remote compile / cache miss)
+                t1 = time.perf_counter()
+                state = _run_lm_jit(prob, cam, lm_cfg)
+                np.asarray(state.cost)
+                steady_ms = (time.perf_counter() - t1) * 1e3
                 prob_arrays = {f: np.asarray(getattr(prob, f)) for f in prob._fields}
                 seen.add(_bucket_key(prob_arrays, lm_cfg))
                 conn.send(
                     ("ok", req_id,
-                     {"pretouch_ms": (time.perf_counter() - t0) * 1e3})
+                     {"pretouch_ms": first_ms, "steady_ms": steady_ms})
                 )
             except Exception as e:
                 conn.send(("err", req_id, repr(e)))
@@ -390,6 +399,19 @@ class BASolverWorker:
         timing: the warmer only fills the on-disk cache, and the solver's
         first touch of a bucket otherwise pays a multi-second cache load
         mid-run. Returns the pretouch wall ms (None on timeout/error)."""
+        req_id = self.pretouch_async(bucket, lm_cfg, chi2_line, chi2_point,
+                                     timeout=timeout)
+        out = self.pretouch_wait(req_id, timeout=timeout)
+        return out[0] if out is not None else None
+
+    def pretouch_async(self, bucket, lm_cfg, chi2_line: float,
+                       chi2_point: float, timeout: float = 300.0) -> int:
+        """Non-blocking pretouch: enqueue the bucket's toy solve in the
+        solver process and return a request id for `pretouch_wait`. Lets the
+        bench overlap the solver's bucket trace+load with the tracking
+        warmup in the main process (VERDICT r4 item 9: serial warmup then
+        serial pretouch cost ~sum; the worker compiles in its own process,
+        so overlapped they cost ~max)."""
         self.wait_ready(timeout)
         P_, L_, OL_ = bucket
         self._next_id += 1
@@ -398,12 +420,19 @@ class BASolverWorker:
             ("pretouch", req_id,
              (int(P_), int(L_), int(OL_), lm_cfg, float(chi2_line), float(chi2_point)))
         )
+        return req_id
+
+    def pretouch_wait(self, req_id: int, timeout: float = 300.0):
+        """(first_ms, steady_ms) of a pretouch_async request, or None."""
         out = self._recv_matching(req_id, timeout)
         if out is None:
             return None
         kind, payload = out
         if kind == "ok":
-            return float(payload.get("pretouch_ms", 0.0))
+            return (
+                float(payload.get("pretouch_ms", 0.0)),
+                float(payload.get("steady_ms", 0.0)),
+            )
         return None
 
     # ---- async API (the LocalMapper per-keyframe pipeline) ---------------

@@ -32,7 +32,17 @@ class GlobalBAConfig(NamedTuple):
     pose_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048)
     line_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384)
     obs_buckets: Tuple[int, ...] = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
+    # hybrid maps: GBA must see the POINT observations too — a line-only
+    # global solve after a loop closure re-optimizes poses against the
+    # weaker constraint family alone (line-direction degeneracy) and was
+    # measured WORSENING the essential-graph result by 28% on the stereo
+    # loop scene (VERDICT r4 weak #7 / BASELINE.md row 53)
+    point_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096)
+    p_obs_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192, 16384)
     lm: LMConfig = LMConfig(max_iters=12)
+    # divergence guard, mirroring LocalBAConfig.reject_cost_per_obs: a
+    # blown-up full-map solve must not overwrite the essential-graph result
+    reject_cost_per_obs: float = 500.0
 
 
 class GlobalBAStats(NamedTuple):
@@ -40,6 +50,7 @@ class GlobalBAStats(NamedTuple):
     n_lines: int
     n_obs: int
     cost: float
+    applied: bool = True
 
 
 def global_bundle_adjustment(
@@ -105,26 +116,62 @@ def global_bundle_adjustment(
         l_sigma[r] = kf.features.sigma[slot]
         l_valid[r] = 1.0
 
+    # hybrid point blocks (empty 1-stubs on line-only maps), mirroring
+    # local_ba.build_problem — see GlobalBAConfig.point_buckets
+    pst = slam_map.points
+    live_p = [int(q) for q in pst.live_ids() if pst.n_obs[q] >= 2]
+    if live_p:
+        n_p_obs = sum(
+            sum(1 for k in pst.obs.get(q, {}) if k in kid_set) for q in live_p
+        )
+        M, OP = ladder_bucket(
+            (len(live_p), n_p_obs), cfg.point_buckets, cfg.p_obs_buckets
+        )
+        if len(live_p) > M:
+            live_p = sorted(live_p, key=lambda q: -int(pst.n_obs[q]))[:M]
+    else:
+        M, OP = 1, 1
+    point_pos = {q: i for i, q in enumerate(live_p)}
+    points = np.zeros((M, 3), np.float32)
+    point_valid = np.zeros(M, np.float32)
+    for q, i in point_pos.items():
+        points[i] = pst.xyz[q]
+        point_valid[i] = 1.0
+    prows = []
+    for q in live_p:
+        for kid, slot in pst.obs.get(q, {}).items():
+            if kid in kf_pos:
+                prows.append((kf_pos[kid], point_pos[q], kid, slot))
+    prows = prows[:OP]
+    p_pose = np.zeros(OP, np.int32)
+    p_point = np.zeros(OP, np.int32)
+    p_uv = np.zeros((OP, 2), np.float32)
+    p_valid = np.zeros(OP, np.float32)
+    for r, (pi, qi, kid, slot) in enumerate(prows):
+        kf = slam_map.keyframes[kid]
+        p_pose[r] = pi
+        p_point[r] = qi
+        p_uv[r] = kf.point_features.uv[slot]
+        p_valid[r] = 1.0
+
     wrap = (lambda x: x) if solver is not None else jnp.asarray
-    zeros = np.zeros if solver is not None else jnp.zeros
-    ones = np.ones if solver is not None else jnp.ones
     prob = BAProblem(
         poses=wrap(poses),
         pose_free=wrap(pose_free),
         lines=wrap(lines),
         line_valid=wrap(line_valid),
-        points=zeros((1, 3), np.float32),
-        point_valid=zeros(1, np.float32),
+        points=wrap(points),
+        point_valid=wrap(point_valid),
         l_pose=wrap(l_pose),
         l_line=wrap(l_line),
         l_endpoints=wrap(l_ep),
         l_valid=wrap(l_valid),
         l_sigma=wrap(l_sigma),
-        p_pose=zeros(1, np.int32),
-        p_point=zeros(1, np.int32),
-        p_uv=zeros((1, 2), np.float32),
-        p_valid=zeros(1, np.float32),
-        p_sigma=ones(1, np.float32),
+        p_pose=wrap(p_pose),
+        p_point=wrap(p_point),
+        p_uv=wrap(p_uv),
+        p_valid=wrap(p_valid),
+        p_sigma=wrap(np.ones(OP, np.float32)),
     )
     res = None
     if solver is not None:
@@ -142,7 +189,30 @@ def global_bundle_adjustment(
         res = dict(
             poses=np.asarray(state.poses),
             lines=np.asarray(state.lines),
+            points=np.asarray(state.points),
             cost=float(np.asarray(state.cost)),
+        )
+
+    # divergence guard (see GlobalBAConfig.reject_cost_per_obs): a diverged
+    # full-map solve must not overwrite the essential-graph correction
+    n_obs_total = len(rows) + len(prows)
+    if (
+        cfg.reject_cost_per_obs > 0
+        and res["cost"] > cfg.reject_cost_per_obs * max(1, n_obs_total)
+    ):
+        import sys
+
+        print(
+            f"global BA diverged (cost {res['cost']:.3g} over {n_obs_total} "
+            "obs) — write-back rejected, essential-graph result kept",
+            file=sys.stderr,
+        )
+        return GlobalBAStats(
+            n_poses=len(kids),
+            n_lines=len(live),
+            n_obs=n_obs_total,
+            cost=res["cost"],
+            applied=False,
         )
 
     new_poses = res["poses"]
@@ -154,10 +224,15 @@ def global_bundle_adjustment(
         if st.alive[l]:
             st.plucker[l] = new_lines[i]
             st.endpoints[l] = _project_endpoints_to_line(st.endpoints[l], new_lines[i])
+    if live_p and "points" in res:
+        new_points = res["points"]
+        for q, i in point_pos.items():
+            if pst.alive[q]:
+                pst.xyz[q] = new_points[i]
 
     return GlobalBAStats(
         n_poses=len(kids),
         n_lines=len(live),
-        n_obs=len(rows),
+        n_obs=n_obs_total,
         cost=res["cost"],
     )

@@ -323,6 +323,12 @@ def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) ->
         )
         n_pruned = 0
         if cfg.prune_outliers and "inl_l0" in res:
+            # same touched-only floor rule as the normal prune path below:
+            # the min-obs kill applies ONLY to landmarks that lost an
+            # observation here — an unconditional loop over line_order/
+            # point_ids would kill every fresh single-observation landmark
+            # in the window (the exact defect the normal path fixed)
+            touched_l0: set = set()
             inl_l0 = np.asarray(res["inl_l0"])
             for r in range(obs_table.shape[0]):
                 if inl_l0[r] < 0.5:
@@ -330,12 +336,15 @@ def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) ->
                     kid = kf_order[pi]
                     if kid not in slam_map.keyframes:
                         continue
-                    st.erase_observation(int(line_order[li]), slam_map.keyframes[kid])
+                    lid = int(line_order[li])
+                    st.erase_observation(lid, slam_map.keyframes[kid])
+                    touched_l0.add(lid)
                     n_pruned += 1
-            for lid in line_order:
+            for lid in touched_l0:
                 if st.alive[lid] and st.n_obs[lid] < cfg.min_obs_keep:
-                    st.kill(int(lid), slam_map.keyframes)
+                    st.kill(lid, slam_map.keyframes)
             if point_ids and "inl_p0" in res:
+                touched_p0: set = set()
                 inl_p0 = np.asarray(res["inl_p0"])
                 for r in range(p_obs_table.shape[0]):
                     if inl_p0[r] < 0.5:
@@ -343,13 +352,13 @@ def apply_result(slam_map: SlamMap, cfg: LocalBAConfig, ctx: dict, res: dict) ->
                         kid = kf_order[pi]
                         if kid not in slam_map.keyframes:
                             continue
-                        pst.erase_observation(
-                            int(point_ids[qi]), slam_map.keyframes[kid]
-                        )
+                        qid = int(point_ids[qi])
+                        pst.erase_observation(qid, slam_map.keyframes[kid])
+                        touched_p0.add(qid)
                         n_pruned += 1
-                for qid in point_ids:
+                for qid in touched_p0:
                     if pst.alive[qid] and pst.n_obs[qid] < cfg.min_obs_keep:
-                        pst.kill(int(qid), slam_map.keyframes)
+                        pst.kill(qid, slam_map.keyframes)
         return LocalBAStats(
             n_poses=len(window),
             n_fixed=len(fixed),

@@ -173,6 +173,31 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         mapper_cfg=mcfg,
     )
     _maybe_hang("warmup")
+    warmup_s = 0.0
+    pretouch_s: Dict[str, float] = {}
+    # overlap the solver's bucket pretouch with the tracking warmup
+    # (VERDICT r4 item 9): the toy solves trace/load in the WORKER process
+    # while this process compiles the tracking programs — serial cost was
+    # warmup + pretouch (~200 s of the 240 s r4 attempt); overlapped ~max.
+    # TPUSLAM_BENCH_PRETOUCH_OVERLAP=0 restores the serial order (to
+    # isolate tunnel-contention effects if they reappear).
+    pt_reqs = []
+    overlap_pt = (
+        mapping
+        and sys_._ba_worker is not None
+        and os.environ.get("TPUSLAM_BENCH_PRETOUCH_OVERLAP", "1") == "1"
+    )
+    if overlap_pt:
+        ba_cfg_pt = sys_.mapper.cfg.ba
+        for bucket in sys_._ba_worker.warm_caps:
+            pt_reqs.append(
+                (bucket,
+                 sys_._ba_worker.pretouch_async(
+                     bucket, ba_cfg_pt.lm, ba_cfg_pt.chi2_line, ba_cfg_pt.chi2_point
+                 ))
+            )
+        log(f"bench: {len(pt_reqs)} BA pretouches enqueued (overlap warmup)")
+    t_wu = time.perf_counter()
     if os.environ.get("TPUSLAM_BENCH_WARMUP", "1") == "1":
         from tpuslam.warmup import warmup_tracking
 
@@ -206,6 +231,7 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             ),
             log=log,
         )
+    warmup_s = time.perf_counter() - t_wu
     if mapping and sys_._ba_worker is not None:
         # hold timing until the worker's FIRST solver bucket is compiled —
         # the first real solve otherwise pays a ~10 s bucket compile and
@@ -219,7 +245,7 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         # while the warmer compiled the big buckets mid-run. With the
         # persistent cache warm this wait is ~30-60 s; a cold machine hits
         # the timeout and proceeds (warmup keeps going in the background).
-        log("bench: pretouching BA solver buckets...")
+        log("bench: collecting BA solver pretouches...")
         worker = sys_._ba_worker
         budget_ba = min(
             float(os.environ.get("TPUSLAM_BENCH_BA_WARM_S", "280")),
@@ -230,19 +256,37 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         # pretouch = a toy solve of each rung INSIDE the solver process: the
         # first real solve otherwise pays a multi-second trace + cache load
         # (or remote compile, cold machine) mid-run, skipping the BA windows
-        # that land during it (round-3 bench: ba_skipped=5/6)
-        for bucket in worker.warm_caps:
+        # that land during it (round-3 bench: ba_skipped=5/6). Requests were
+        # enqueued before warmup (overlap) unless OVERLAP=0.
+        if not pt_reqs:
+            pt_reqs = [(b, None) for b in worker.warm_caps]
+        for bucket, rid in pt_reqs:
             remain = budget_ba - (time.perf_counter() - t0)
             if remain <= 10.0:
                 log("bench: pretouch budget spent; remaining buckets compile on demand")
                 break
-            ms = worker.pretouch(
-                bucket, ba_cfg.lm, ba_cfg.chi2_line, ba_cfg.chi2_point,
-                timeout=remain,
-            )
-            pt = f"{ms/1e3:.1f}s" if ms is not None else "FAILED/TIMED OUT"
-            log(f"bench: solver pretouch {bucket}: {pt}")
-        log(f"bench: BA pretouch done in {time.perf_counter() - t0:.1f}s")
+            if rid is None:
+                rid = worker.pretouch_async(
+                    bucket, ba_cfg.lm, ba_cfg.chi2_line, ba_cfg.chi2_point,
+                    timeout=remain,
+                )
+            out_pt = worker.pretouch_wait(rid, timeout=remain)
+            key = "x".join(map(str, bucket))
+            if out_pt is None:
+                pretouch_s[key] = -1.0
+                log(f"bench: solver pretouch {bucket}: FAILED/TIMED OUT")
+            else:
+                first_ms, steady_ms = out_pt
+                pretouch_s[key] = round(first_ms / 1e3, 1)
+                # first - steady = the trace+compile/cache-load share (the
+                # item-9 truth probe: ~4-6 s = per-process load on a warm
+                # cache; 30+ s = remote compile / cache miss)
+                log(
+                    f"bench: solver pretouch {bucket}: {first_ms/1e3:.1f}s "
+                    f"(steady solve {steady_ms:.0f} ms, "
+                    f"trace+load {max(0.0, first_ms-steady_ms)/1e3:.1f}s)"
+                )
+        log(f"bench: BA pretouch collect done in {time.perf_counter() - t0:.1f}s")
     log("bench: warmup done; tracking...")
     _maybe_hang("track")
     times = []
@@ -281,6 +325,11 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         local_ba_ms=lm.get("median_ms", 0.0),
         keyframes=len(sys_.map.keyframes),
         lines=len(sys_.map.lines.live_ids()),
+        # window-health signals (VERDICT r4 weak #1): the driver's retry
+        # gate reads these — per-call medians are blind in chunked mode
+        warmup_s=round(warmup_s, 1),
+        pretouch_s=pretouch_s,
+        pretouch_total_s=round(sum(v for v in pretouch_s.values() if v > 0), 1),
     )
     def emit():
         # EVERY emitted line is a complete, parseable result; the parent
@@ -352,6 +401,7 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
             out["local_ba_cold"] = True
         out["ba_submitted"] = mp_.ba_submitted
         out["ba_skipped"] = mp_.ba_skipped
+        out["ba_resubmitted"] = mp_.ba_resubmitted
         out["ba_stale"] = mp_.ba_stale
 
     emit()

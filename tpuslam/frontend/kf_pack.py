@@ -79,10 +79,15 @@ class PackedPayload:
         entries = []
         off = 0
         for leaf in leaves:
-            shape = tuple(leaf.shape)
-            dt = np.dtype(leaf.dtype)
+            shape = tuple(np.shape(leaf))
+            # slot math must see the dtype the jitted _pack sees: jax
+            # canonicalizes 64-bit leaves at the jit boundary (x64 disabled:
+            # int64 -> int32, 2 slots), so an np.int64 host leaf (itemsize 8,
+            # naively 1 slot) would corrupt every subsequent offset
+            dt_orig = np.dtype(getattr(leaf, "dtype", np.float32))
+            dt = np.dtype(jax.dtypes.canonicalize_dtype(dt_orig))
             n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-            entries.append((shape, dt, off, n))
+            entries.append((shape, dt_orig, dt, off, n))
             off += n * _slots(dt)
         self._entries = entries
         self.buf = _pack(leaves)
@@ -95,7 +100,7 @@ class PackedPayload:
     def unpack(self):
         buf = np.asarray(self.buf)
         out = []
-        for shape, dt, off, n in self._entries:
+        for shape, dt_orig, dt, off, n in self._entries:
             if dt == np.float32:
                 arr = buf[off : off + n]
             elif dt.itemsize == 4 and dt.kind in "iu":
@@ -107,6 +112,8 @@ class PackedPayload:
                 arr = buf[off : off + n] > 0.5
             else:
                 arr = buf[off : off + n].astype(dt)
+            if dt_orig != arr.dtype:  # give callers back their host dtype
+                arr = arr.astype(dt_orig)
             out.append(arr.reshape(shape))
         return jax.tree_util.tree_unflatten(self._treedef, out)
 

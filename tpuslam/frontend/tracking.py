@@ -387,20 +387,7 @@ class Tracker:
             return self._track_stereo_fused(img_left, img_right, timestamp)
         self._drain_fused()
         feats = self._stereo_features(img_left, img_right)
-        if self.cfg.points is not None:
-            pl = self._upscale_points(
-                extract_points(jnp.asarray(_img_f32(img_left)), self.cfg.points)
-            )
-            if self.cfg.direct_stereo is not None:
-                self._cur_pfeats = direct_stereo_point_depths(
-                    jnp.asarray(_img_f32(img_left)), jnp.asarray(_img_f32(img_right)),
-                    pl, self._fxb, self._direct_points(),
-                )
-            else:
-                pr_ = self._upscale_points(
-                    extract_points(jnp.asarray(_img_f32(img_right)), self.cfg.points)
-                )
-                self._cur_pfeats = stereo_point_depths(pl, pr_, self._fxb, self.cfg.points)
+        self._refresh_point_features(img_left, img_right)
         r = self._track(feats, timestamp, stereo=True)
         if r is not None:
             self._completed.append(r)
@@ -420,6 +407,30 @@ class Tracker:
                 extract_points(jnp.asarray(_img_f32(img)), self.cfg.points)
             )
         return self._track(feats, timestamp, stereo=False)
+
+    def _refresh_point_features(self, img_left: np.ndarray, img_right: np.ndarray):
+        """Recompute `_cur_pfeats` (hybrid corner features + stereo depths)
+        for THIS frame. Every sync-path track of a new frame must call this
+        alongside `_stereo_features`: the hybrid pose LM reads
+        `self._cur_pfeats`, and a stale value (the previous anchor's corners)
+        drags the joint solve toward that old frame's pose — the round-4
+        advisor's hybrid regression was exactly the partial-chunk flush
+        tracking frame N against frame N-4's corner set (0.2 m spike)."""
+        if self.cfg.points is None:
+            return
+        pl = self._upscale_points(
+            extract_points(jnp.asarray(_img_f32(img_left)), self.cfg.points)
+        )
+        if self.cfg.direct_stereo is not None:
+            self._cur_pfeats = direct_stereo_point_depths(
+                jnp.asarray(_img_f32(img_left)), jnp.asarray(_img_f32(img_right)),
+                pl, self._fxb, self._direct_points(),
+            )
+        else:
+            pr_ = self._upscale_points(
+                extract_points(jnp.asarray(_img_f32(img_right)), self.cfg.points)
+            )
+            self._cur_pfeats = stereo_point_depths(pl, pr_, self._fxb, self.cfg.points)
 
     def _stereo_features(self, img_left: np.ndarray, img_right: np.ndarray) -> FrameFeatures:
         """Left features with stereo depths — descriptor stereo (detect both
@@ -954,6 +965,7 @@ class Tracker:
                 saved = self.frame_idx
                 for i, (il_, ir_) in enumerate(pairs):
                     feats = self._stereo_features(il_, ir_)
+                    self._refresh_point_features(il_, ir_)
                     self.frame_idx = pidx[i]
                     r = self._track_frame_sync(feats, pts[i], stereo=True, relocalize=True)
                     self._completed.append(r)
@@ -965,6 +977,7 @@ class Tracker:
             saved = self.frame_idx
             for fidx, fts, il, ir in buf:
                 feats = self._stereo_features(il, ir)
+                self._refresh_point_features(il, ir)
                 self.frame_idx = fidx
                 r = self._track_frame_sync(
                     feats, fts, stereo=True,
