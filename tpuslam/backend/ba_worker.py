@@ -151,10 +151,24 @@ def _worker_main(conn, cam_tuple, platform):
                 prob = _toy_problem(
                     np.random.default_rng(0), P_=P_, L=L_, OL=OL_, cam=cam
                 )
+                # mirror the REAL solve path exactly — numpy inputs (the
+                # submit path ships numpy through the pipe; device-array toy
+                # inputs warmed a different jit entry and the first real
+                # solve still paid ~3.6 s, measured r5) + the SAME sequence
+                # of programs incl. initial_chi2_masks
+                prob = BAProblem(
+                    **{f: np.asarray(getattr(prob, f)) for f in prob._fields}
+                )
                 state = _run_lm_jit(prob, cam, lm_cfg)
                 inl = _chi2_jit(state, prob, cam, float(chi2_line), float(chi2_point))
+                from tpuslam.backend.local_ba import initial_chi2_masks
+
+                inl0 = initial_chi2_masks(
+                    prob, cam, float(chi2_line), float(chi2_point)
+                )
                 np.asarray(state.cost)  # TRUE drains (axon block_until_ready
                 np.asarray(inl[0])  # returns at enqueue — PERF_NOTES.md)
+                np.asarray(inl0[0])
                 first_ms = (time.perf_counter() - t0) * 1e3
                 # second run = steady dispatch+solve only; first - steady
                 # isolates the trace+compile/cache-load share so the bench
@@ -182,6 +196,7 @@ def _worker_main(conn, cam_tuple, platform):
             t0 = time.perf_counter()
             prob = BAProblem(**prob_arrays)
             state = _run_lm_jit(prob, cam, lm_cfg)
+            t_lm = time.perf_counter()
             inl_l, inl_p = _chi2_jit(state, prob, cam, float(chi2_line), float(chi2_point))
             # initial-state masks for the divergence guard (same compiled
             # executable as the call above — identical shapes)
@@ -190,6 +205,7 @@ def _worker_main(conn, cam_tuple, platform):
             inl_l0, inl_p0 = initial_chi2_masks(
                 prob, cam, float(chi2_line), float(chi2_point)
             )
+            t_chi2 = time.perf_counter()
             res = dict(
                 poses=np.asarray(state.poses),
                 lines=np.asarray(state.lines),
@@ -200,10 +216,20 @@ def _worker_main(conn, cam_tuple, platform):
                 inl_l0=np.asarray(inl_l0),
                 inl_p0=np.asarray(inl_p0),
             )
+            t_d2h = time.perf_counter()
             seen.add(key)
             # wall time incl. host sync; `warm` tells callers whether this
-            # solve paid a bucket compile — timing stats use warm-only rows
+            # solve paid a bucket compile — timing stats use warm-only rows.
+            # Stage split (enqueue-time semantics: the d2h stage absorbs the
+            # actual device execution — axon block_until_ready returns at
+            # enqueue): lm = dispatch enqueue, chi2 = mask enqueues,
+            # d2h = results resolve + device time.
             res["solve_ms"] = (time.perf_counter() - t0) * 1e3
+            res["stage_ms"] = {
+                "lm_enqueue": (t_lm - t0) * 1e3,
+                "chi2_enqueue": (t_chi2 - t_lm) * 1e3,
+                "exec_d2h": (t_d2h - t_chi2) * 1e3,
+            }
             res["warm"] = was_warm
             conn.send(("ok", req_id, res))
         except Exception as e:  # surface to the parent

@@ -121,6 +121,7 @@ class LocalMapper:
         self.ba_stale = 0  # solves discarded: map corrected mid-flight
         self._ba_want_resubmit = False  # a window was skipped; catch up at tick
         self.solve_ms: List[float] = []  # warm solves only (no bucket compile)
+        self.last_stage_ms = None  # worker-side stage split of the last solve
         self.solve_ms_by_rung: Dict[tuple, List[float]] = {}  # bucket -> warm ms
         self.cold_solve_ms: List[float] = []  # first-touch-per-bucket solves
 
@@ -243,6 +244,7 @@ class LocalMapper:
                 ).append(float(res["solve_ms"]))
             else:
                 self.cold_solve_ms.append(float(res["solve_ms"]))
+            self.last_stage_ms = res.get("stage_ms")  # worker-side split
         if ctx.get("generation", self.map.generation) != self.map.generation:
             # map was corrected (loop closure) after this window was
             # assembled; writing the pre-correction solve back would revert

@@ -403,6 +403,10 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         out["ba_skipped"] = mp_.ba_skipped
         out["ba_resubmitted"] = mp_.ba_resubmitted
         out["ba_stale"] = mp_.ba_stale
+        if getattr(mp_, "last_stage_ms", None):
+            out["local_ba_stage_ms"] = {
+                k: round(v, 1) for k, v in mp_.last_stage_ms.items()
+            }
 
     emit()
     return out
