@@ -39,6 +39,7 @@ HEALTHY_TRACK_MS = float(os.environ.get("TPUSLAM_BENCH_HEALTHY_MS", "100"))
 BA_HEALTHY_MS = float(os.environ.get("TPUSLAM_BENCH_BA_HEALTHY_MS", "500"))
 PRETOUCH_HEALTHY_S = float(os.environ.get("TPUSLAM_BENCH_PRETOUCH_HEALTHY_S", "45"))
 FEED_RATIO_MIN = float(os.environ.get("TPUSLAM_BENCH_FEED_RATIO_MIN", "0.25"))
+WIRE_HEALTHY_MBPS = float(os.environ.get("TPUSLAM_BENCH_WIRE_MBPS", "10"))
 MAX_ATTEMPTS = int(os.environ.get("TPUSLAM_BENCH_ATTEMPTS", "3"))
 # test hooks (artifact-discipline test): swap the sub-bench for a stub and
 # shrink the attempt budgeting so the full driver flow runs in seconds
@@ -127,6 +128,9 @@ def _degradation(res):
     pt = res.get("pretouch_total_s", 0.0)
     if pt > PRETOUCH_HEALTHY_S:
         reasons.append(f"pretouch {pt:.0f}s > {PRETOUCH_HEALTHY_S:.0f}s")
+    wm = res.get("wire_mbps", 0.0)
+    if 0 < wm < WIRE_HEALTHY_MBPS:
+        reasons.append(f"h2d wire {wm:.1f} MB/s < {WIRE_HEALTHY_MBPS:.0f}")
     if res.get("track_ms_median", 0.0) > HEALTHY_TRACK_MS:
         reasons.append(f"track_ms_median {res['track_ms_median']:.0f} > {HEALTHY_TRACK_MS:.0f}")
     return reasons
@@ -159,6 +163,11 @@ def _emit(best, extra):
             # medians + the degradation signals of the CHOSEN attempt, so
             # the artifact itself says whether the window was healthy
             "local_ba_ms_by_rung": best.get("local_ba_ms_by_rung", {}),
+            "local_ba_stage_ms": best.get("local_ba_stage_ms", {}),
+            "stage_ms": best.get("stage_ms", {}),
+            "track_sum_ms": best.get("track_sum_ms", 0.0),
+            "flush_ms": best.get("flush_ms", 0.0),
+            "wire_mbps": best.get("wire_mbps", 0.0),
             "warmup_s": best.get("warmup_s", 0.0),
             "pretouch_s": best.get("pretouch_s", {}),
             "window_health": best.get("_health", ["not assessed"]) or "healthy",

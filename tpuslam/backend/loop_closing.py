@@ -273,10 +273,18 @@ class LoopConfig:
     min_inliers: int = 8
     # mono scale-correction plausibility gate: a Sim(3) estimate asking for
     # more than this factor of scale change (either direction) is treated
-    # as a mis-estimate — a map that genuinely drifted that far has a
-    # broken shape no single similarity can fix, and applying it
-    # catastrophically rescales everything (observed: s=0.17 estimate on a
-    # degraded circle map took KF-map ATE 1.4 -> 3.7)
+    # as a mis-estimate. r4 set this to 2.5 after an s=0.17 closure on a
+    # degraded map took KF-map ATE 1.4 -> 3.7 — but that regression came
+    # from defects fixed since (BA divergence write-backs, uncorrected
+    # POINT landmarks at closure, point-blind global BA), and r5 measured
+    # the tight gate REJECTING the legitimate corrections for ordinary
+    # cumulative mono drift (s=0.23-0.39 over a 120-frame circle), leaving
+    # the map broken at 3-5x the closed ATE. r5 then MEASURED a widened
+    # gate (8.0) on the circle scene and it reliably lost: 1.86-2.00
+    # KF-map ATE with 3-4 churning large-scale closures vs 0.24-0.90 at
+    # 2.5 with 1-2 in-gate closures — a map that drifted past ~2.5x
+    # really is shape-broken beyond a single similarity, exactly as the
+    # r4 note said. The tight gate stays.
     max_scale_correction: float = 2.5
     refine: bool = True  # post-RANSAC pose LM over line/point reprojections
     refine_cap: int = 256  # fixed capacity per landmark family (compile-once)
@@ -694,6 +702,30 @@ class LoopCloser:
             Rn = np.einsum("mij,mj->mi", Rc, L[:, :3])
             n_new = sC[:, None] * Rn + np.cross(C[:, :3, 3], Rv)
             st.plucker[lids_a] = np.concatenate([n_new, Rv], axis=-1)
+
+        # POINT landmarks get the same per-ref-KF correction (found r5: they
+        # were never corrected — tracking/reloc then matched against
+        # pre-closure point geometry, and once global BA started consuming
+        # point observations the stale points dragged the corrected poses
+        # back toward pre-closure geometry, the r4 'GBA makes it worse' term)
+        pst = self.map.points
+        qids, qrefs = [], []
+        for qid in pst.live_ids():
+            ref = int(pst.first_kf[qid])
+            if ref not in corrections:
+                obs_k = next(iter(pst.obs.get(int(qid), {})), None)
+                if obs_k is None or obs_k not in corrections:
+                    continue
+                ref = obs_k
+            qids.append(int(qid))
+            qrefs.append(ref)
+        if qids:
+            qids_a = np.asarray(qids)
+            Cq = np.stack([corrections[r] for r in qrefs])  # (M, 4, 4)
+            xyz = pst.xyz[qids_a]
+            pst.xyz[qids_a] = (
+                np.einsum("mij,mj->mi", Cq[:, :3, :3], xyz) + Cq[:, :3, 3]
+            ).astype(np.float32)
 
         kf.loop_edges.add(cand_kid)
         cand.loop_edges.add(kf.kid)

@@ -53,6 +53,25 @@ class MapperConfig:
     cull_horizon: int = 3
     triangulate_neighbors: int = 3  # covisible KFs searched for new lines
     tri_min_parallax_deg: float = 1.0
+    # LINE-triangulation conditioning gates (mono scale-leak fix, r5 —
+    # probe_mono_scale + mono-loop bisect):
+    # - a TINY back-projected-plane-angle floor kills only the exactly
+    #   degenerate pairs. A 1-degree floor like the point gate is WRONG for
+    #   lines: it preferentially rejects lines near-parallel to the
+    #   baseline (an entire orientation class), and the anisotropic
+    #   constraint gap broke the mono circle map 10x (bisect: KF-map ATE
+    #   0.24 at 0 deg vs 4.83 at 1 deg).
+    # - the scene-relative DEPTH BAND is an orientation-neutral gate for
+    #   the same failure mode (low-parallax noise placed new lines at
+    #   0.18-0.92x the map's median depth). Measured r5: the tiny floor +
+    #   second-view depth bounds already stop the forward-walk scale
+    #   collapse WITHOUT the band (half-median ratio 0.14 -> 0.23, i.e. no
+    #   decay), while the band cost accuracy on depth-varied scenes (the
+    #   circle room) by starving legitimate new structure. Default OFF;
+    #   set e.g. (0.35, 3.0) for flat-depth scenes.
+    tri_line_min_parallax_deg: float = 0.2
+    tri_depth_band: tuple = None  # (lo, hi) x scene median depth, or None
+    tri_depth_band_min_ref: int = 10  # bound landmarks needed to define it
     tri_max_reproj_px: float = 4.0
     tri_min_depth: float = 0.1
     tri_max_depth: float = 60.0
@@ -113,6 +132,7 @@ class LocalMapper:
         self._kf_count = 0
         self.last_ba: LocalBAStats | None = None
         self.on_map_changed = None  # callback (e.g. tracker.invalidate_local_map)
+        self.timer = None  # optional StageTimer (System wires its own in)
         # observability counters (VERDICT r2: async-BA cadence must not
         # degrade silently) + per-solve wall times from the worker
         self.ba_submitted = 0
@@ -126,18 +146,27 @@ class LocalMapper:
         self.cold_solve_ms: List[float] = []  # first-touch-per-bucket solves
 
     def process(self, kf: KeyFrame):
+        import time as _time
+
+        _t = _time.perf_counter
+        _marks = [("start", _t())]
         self._kf_count += 1
         self._apply_pending_fuse()
+        _marks.append(("mp.fuse_apply", _t()))
         self._register_recent(kf)
         self._cull_recent(kf)
+        _marks.append(("mp.cull", _t()))
         if self.mono:
             self._create_new_maplines(kf)
             self._create_new_mappoints(kf)
+            _marks.append(("mp.triangulate", _t()))
         if self.cfg.fuse_defer:
             self._dispatch_fuse_deferred(kf)
         else:
             self._fuse_all(kf)
+        _marks.append(("mp.fuse_dispatch", _t()))
         self.map.update_connections(kf)
+        _marks.append(("mp.covis", _t()))
         if self._kf_count % self.cfg.ba_every == 0 and len(self.map.keyframes) >= 2:
             if self.solver is not None:
                 # ASYNC per-keyframe BA pipeline (the reference's mapping
@@ -161,10 +190,15 @@ class LocalMapper:
                 self.last_ba = local_bundle_adjustment(
                     self.map, kf.kid, self.cam, self.cfg.ba
                 )
+        _marks.append(("mp.ba", _t()))
         if self.cfg.enable_kf_culling:
             self._cull_keyframes(kf)
         if self.on_map_changed:
             self.on_map_changed()
+        _marks.append(("mp.kf_cull", _t()))
+        if self.timer is not None:  # System's StageTimer (KF-event wall split)
+            for (_, prev), (name, now) in zip(_marks, _marks[1:]):
+                self.timer.add(name, now - prev)
 
     def _submit_ba(self, center_kid: int):
         """Assemble the local window around `center_kid` and submit it to the
@@ -387,6 +421,20 @@ class LocalMapper:
         P0 = projection_matrix(self.cam, jnp.asarray(T0))
         a0 = np.asarray(f.endpoints)  # (K, 2, 2)
         l0 = image_line_through(jnp.asarray(a0[:, 0]), jnp.asarray(a0[:, 1]))
+        # median depth of this KF's already-bound landmarks — the scene
+        # reference for the tri_depth_band gate (None = too few to judge)
+        ref_med_depth = None
+        bound = np.asarray(kf.line_ids)
+        bound = bound[bound >= 0]
+        if bound.size >= self.cfg.tri_depth_band_min_ref:
+            st0 = self.map.lines
+            alive_b = [int(l) for l in bound if st0.alive[l]]
+            if len(alive_b) >= self.cfg.tri_depth_band_min_ref:
+                eps = st0.endpoints[np.asarray(alive_b)]  # (B, 2, 3) world
+                z = (eps @ T0[:3, :3].T + T0[:3, 3])[..., 2]
+                ref_med_depth = float(np.median(np.median(z, axis=-1)))
+                if not np.isfinite(ref_med_depth) or ref_med_depth <= 0:
+                    ref_med_depth = None
         for nkid in neighbors:
             nkf = self.map.keyframes[nkid]
             nfree = (nkf.line_ids < 0) & (np.asarray(nkf.features.valid) > 0.5)
@@ -414,7 +462,39 @@ class LocalMapper:
             P1 = projection_matrix(self.cam, jnp.asarray(T1))
             l1 = image_line_through(jnp.asarray(a1[:, 0]), jnp.asarray(a1[:, 1]))
             Lw = np.asarray(triangulate_plucker_two_view(P0, P1, l0, l1))
+            # explicit plane-parallax gate (the mono scale-leak fix, probe_
+            # mono_scale r5): the back-projected planes pi_i = P_i^T l_i of a
+            # low-parallax pair nearly coincide, the intersection depth is
+            # noise-conditioned, and — unlike points — the REPROJECTION
+            # residual cannot catch it (a line reprojects onto itself in
+            # both views at any depth along the viewing direction). The
+            # probe measured new lines entering at 0.18-0.92x the map's
+            # median depth; the shrunken landmarks then shrink the tracked
+            # motion, compounding ~10x over 60 frames.
+            pi0 = np.asarray(l0) @ np.asarray(P0)  # (K, 4) plane of view 0
+            pi1 = np.asarray(l1) @ np.asarray(P1)  # (K, 4) plane of view 1
+            n0 = pi0[:, :3] / np.maximum(
+                np.linalg.norm(pi0[:, :3], axis=-1, keepdims=True), 1e-12
+            )
+            n1 = pi1[:, :3] / np.maximum(
+                np.linalg.norm(pi1[:, :3], axis=-1, keepdims=True), 1e-12
+            )
+            cosang = np.abs(np.sum(n0 * n1, axis=-1))
+            cos_max = np.cos(np.deg2rad(self.cfg.tri_line_min_parallax_deg))
             ok, ep3d = self._validate_triangulations(Lw, a0, a1, T0, T1)
+            ok &= cosang < cos_max
+            # orientation-neutral conditioning gate: candidate median
+            # endpoint depth must land within tri_depth_band of the median
+            # depth of this KF's already-bound landmarks
+            if ref_med_depth is not None and self.cfg.tri_depth_band is not None:
+                cand_z = np.maximum(
+                    (ep3d @ T0[:3, :3].T + T0[:3, 3])[..., 2], 1e-6
+                )  # (K, 2) depths in view 0
+                cand_med = np.median(cand_z, axis=-1)
+                lo, hi = self.cfg.tri_depth_band
+                ok &= (cand_med >= lo * ref_med_depth) & (
+                    cand_med <= hi * ref_med_depth
+                )
             ok &= mv
             bits = np.asarray(f.desc_bits)
             st = self.map.lines
@@ -465,6 +545,14 @@ class LocalMapper:
             ok &= np.all(z >= self.cfg.tri_min_depth, axis=-1)
             ok &= np.all(z <= self.cfg.tri_max_depth, axis=-1)
             ok &= np.isfinite(pts).all(axis=(1, 2))
+            # cheirality + depth bounds in the SECOND view too: a line
+            # placed garbage-near view 0 can still sit behind (or absurdly
+            # far from) view 1 — half the conditioning evidence
+            T10 = (T1 @ np.linalg.inv(T0)).astype(np.float32)
+            pts1 = pts @ T10[:3, :3].T + T10[:3, 3]
+            z1 = pts1[..., 2]
+            ok &= np.all(z1 >= self.cfg.tri_min_depth, axis=-1)
+            ok &= np.all(z1 <= self.cfg.tri_max_depth, axis=-1)
         Twc = np.linalg.inv(T0)
         ep3d = (pts @ Twc[:3, :3].T + Twc[:3, 3]).astype(np.float32)
         return ok, np.where(ok[:, None, None], ep3d, 0.0).astype(np.float32)

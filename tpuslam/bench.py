@@ -287,6 +287,23 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
                     f"trace+load {max(0.0, first_ms-steady_ms)/1e3:.1f}s)"
                 )
         log(f"bench: BA pretouch collect done in {time.perf_counter() - t0:.1f}s")
+    # wire-bandwidth probe: the System wall is h2d-BOUND on this dev tunnel
+    # (r5 stage split: the chunk-resolve track calls sum to ~85% of wall =
+    # the ~7 MB of frame uploads; device-feed with pre-uploaded frames runs
+    # 8x faster). One number makes window health quantitative.
+    wire_mbps = 0.0
+    try:
+        import jax.numpy as _jnp
+
+        _probe = np.zeros((1 << 20,), np.uint8)
+        for _ in range(3):
+            _t0 = time.perf_counter()
+            _x = _jnp.asarray(_probe)
+            np.asarray(_x[:1])  # TRUE drain incl. RTT
+            wire_mbps = max(wire_mbps, 1.0 / max(time.perf_counter() - _t0, 1e-6))
+        log(f"bench: h2d wire ~{wire_mbps:.1f} MB/s")
+    except Exception as e:
+        log(f"bench: wire probe failed: {e}")
     log("bench: warmup done; tracking...")
     _maybe_hang("track")
     times = []
@@ -306,7 +323,9 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
     # pipelined ingest up to 2*chunk frames are still unresolved at loop end,
     # and fps_wall = frames / wall (BASELINE.md measurement rule) must count
     # their completion
+    t_flush0 = time.perf_counter()
     sys_.trajectory.extend(sys_.tracker.flush_all())
+    flush_ms = (time.perf_counter() - t_flush0) * 1e3
     wall = time.perf_counter() - t_wall0
     track = sys_.timer.summary().get("track", {})
     lm = sys_.timer.summary().get("local_mapping", {})
@@ -330,6 +349,18 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         warmup_s=round(warmup_s, 1),
         pretouch_s=pretouch_s,
         pretouch_total_s=round(sum(v for v in pretouch_s.values() if v > 0), 1),
+        # full per-stage wall split (kf_begin/kf_resolve/kf_insert +
+        # mapper mp.* stages): where the wall-fps gap actually goes.
+        # (median, SUM, n) — sums are what reconcile against the wall
+        stage_ms={
+            k: (round(v["median_ms"], 1), round(v["mean_ms"] * v["n"], 1), v["n"])
+            for k, v in sys_.timer.summary().items()
+        },
+        # wall reconciliation: sum of the timed track_stereo calls + the
+        # end-of-loop pipeline drain; wall - track_sum - flush = untimed
+        track_sum_ms=round(float(np.sum(times)) * 1e3, 1),
+        flush_ms=round(flush_ms, 1),
+        wire_mbps=round(wire_mbps, 1),
     )
     def emit():
         # EVERY emitted line is a complete, parseable result; the parent

@@ -331,6 +331,7 @@ class Tracker:
         self.map = slam_map
         self.cfg = cfg
         self.state = TrackingState.NOT_INITIALIZED
+        self.timer = None  # optional StageTimer (System wires its own in)
         self.T_cw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)  # T_curr @ inv(T_last)
         self.last_T_cw: Optional[np.ndarray] = None
@@ -1470,6 +1471,9 @@ class Tracker:
         bytes already on host. `defer_tri=True` (chunked ingest, where
         `feats` is a host-side chunk view) postpones the triangulation
         dispatch to the finish."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         if local_ids is None:
             local_ids = self._local_ids
             local_valid = self._local_valid
@@ -1501,8 +1505,8 @@ class Tracker:
                         except Exception:
                             pass
         self.last_kf_frame = self.frame_idx  # gate the KF cadence immediately
-        import time as _time
-
+        if self.timer is not None:
+            self.timer.add("kf_begin", _time.perf_counter() - _t0)
         return dict(
             t_begin=_time.perf_counter(),
             fidx=self.frame_idx,
@@ -1546,6 +1550,9 @@ class Tracker:
         """Host half of keyframe creation: resolve the begin-time d2h, insert
         the KeyFrame, bind observations, allocate new landmarks, update the
         covisibility graph, and fire on_new_keyframe (mapper/loop closer)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         feats = rec["feats"]
         if feats is None:
             feats = rec["feats_thunk"]()  # chunked path: whole-chunk view
@@ -1564,6 +1571,9 @@ class Tracker:
                 (fine.match_idx, fine.inlier, tuple(feats),
                  None if pf is None else tuple(pf), tri, ptri)
             )
+        if self.timer is not None:  # d2h-resolve share of the KF event
+            self.timer.add("kf_resolve", _time.perf_counter() - _t0)
+            _t0 = _time.perf_counter()
         feats_np = type(feats)(*[np.asarray(x) for x in feats_np])
         if pf_np is not None:
             pf_np = type(pf)(*[np.asarray(x) for x in pf_np])
@@ -1608,6 +1618,8 @@ class Tracker:
         self.last_kf_frame = max(self.last_kf_frame, rec["fidx"])
         self._local_dirty = True
         self._plocal_dirty = True
+        if self.timer is not None:  # host map-insert share of the KF event
+            self.timer.add("kf_insert", _time.perf_counter() - _t0)
         if self.on_new_keyframe:
             self.on_new_keyframe(kf)
 

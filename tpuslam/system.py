@@ -143,6 +143,10 @@ class System:
                     refine_cap=self.loop_closer.cfg.refine_cap,
                 )
         self.timer = StageTimer()
+        if self.mapper is not None:
+            self.mapper.timer = self.timer  # KF-event wall split (mp.* stages)
+        if hasattr(self.tracker, "timer"):
+            self.tracker.timer = self.timer  # kf_begin/kf_finish stages
         self.trajectory: List[FrameResult] = []
         self._log_f = open(log_path, "w") if log_path else None
 
@@ -190,7 +194,9 @@ class System:
         dt = time.perf_counter() - t0
         self.timer.add("track", dt)
         if self.mapper is not None:  # between-KF deferred-work poll
+            t1 = time.perf_counter()
             self.mapper.tick()
+            self.timer.add("tick", time.perf_counter() - t1)
         if r is not None:  # pipelined mode resolves with a 1-2 frame lag
             self.trajectory.append(r)
             self._log(r, dt)
