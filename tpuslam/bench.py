@@ -306,6 +306,12 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
         log(f"bench: wire probe failed: {e}")
     log("bench: warmup done; tracking...")
     _maybe_hang("track")
+    profiler = None
+    if os.environ.get("TPUSLAM_BENCH_PROFILE"):  # host-time attribution of
+        import cProfile  # ONLY the timed loop (profiling warmup is 10x)
+
+        profiler = cProfile.Profile()
+        profiler.enable()
     times = []
     t_wall0 = None
     for f in range(n_scene_frames):
@@ -327,6 +333,10 @@ def run_benchmark(frames: int = 100, warmup: int = 5, quiet: bool = False) -> Di
     sys_.trajectory.extend(sys_.tracker.flush_all())
     flush_ms = (time.perf_counter() - t_flush0) * 1e3
     wall = time.perf_counter() - t_wall0
+    if profiler is not None:
+        profiler.disable()
+        profiler.dump_stats(os.environ["TPUSLAM_BENCH_PROFILE"])
+        log(f"bench: host profile -> {os.environ['TPUSLAM_BENCH_PROFILE']}")
     track = sys_.timer.summary().get("track", {})
     lm = sys_.timer.summary().get("local_mapping", {})
     med = float(np.median(times))

@@ -621,6 +621,8 @@ class Tracker:
             on_enqueued()  # next chunk's upload rides during this compute
         cache: dict = {}
         for i, (fidx, fts) in enumerate(zip(idxs, tss)):
+            if fidx < 0:  # flush padding: device computes it, host discards
+                continue
             self._fuse_queue.append(
                 (fidx, fts, _ChunkFrameView(out, i, cache),
                  lids_snap, lvalid_snap, None, None)
@@ -642,8 +644,14 @@ class Tracker:
         queue one `_SemiFrameView` per frame; then resolve older chunks."""
         from tpuslam.frontend.pipeline import fused_stereo_semidirect
 
+        import time as _time
+
         idxs, tss, handle, host_pairs = up
+        _t0 = _time.perf_counter()
         (frames_dev,) = handle.get()
+        if self.timer is not None:  # wait for the prev chunk's h2d to land
+            self.timer.add("ck.upwait", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         self._finish_pending_kf(force=False)  # newest map before the snapshot
         if self._dev_chain is None:
             T_last = np.asarray(self.T_cw, np.float32)
@@ -652,6 +660,9 @@ class Tracker:
         local = self._local_map_arrays()
         lids_snap = self._local_ids.copy()
         lvalid_snap = self._local_valid.copy()
+        if self.timer is not None:  # pending-KF land + local-map snapshot
+            self.timer.add("ck.prep", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         hybrid = self.cfg.points is not None
         plids_snap = plvalid_snap = None
         if hybrid:
@@ -707,8 +718,13 @@ class Tracker:
             pass
         if on_enqueued is not None:
             on_enqueued()  # next chunk's upload rides during this compute
+        if self.timer is not None:  # async program dispatch (trace+enqueue)
+            self.timer.add("ck.dispatch", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         cache: dict = {}
         for i, (fidx, fts) in enumerate(zip(idxs, tss)):
+            if fidx < 0:  # flush padding: device computes it, host discards
+                continue
             view = _SemiFrameView(
                 out, i, cache, tracker=self,
                 host_pair=None if i == 0 else host_pairs[i],
@@ -722,6 +738,8 @@ class Tracker:
             and self.state == TrackingState.OK
         ):
             self._resolve_fused_one()
+        if self.timer is not None:  # host resolve of the previous chunk
+            self.timer.add("ck.resolve", _time.perf_counter() - _t0)
         if self.state != TrackingState.OK:
             self._relocalize_inflight()
 
@@ -843,7 +861,12 @@ class Tracker:
         if self._pending_kf is not None:
             self._finish_pending_kf(force=False)
         fidx, fts, out, lids, lvalid, plids, plvalid = self._fuse_queue.popleft()
-        packed = np.asarray(out.packed)
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        packed = np.asarray(out.packed)  # blocks on the chunk's d2h once
+        if self.timer is not None:
+            self.timer.add("ck.packed_wait", _time.perf_counter() - _t0)
         n_matches = int(packed[16])
         n_inliers = int(packed[17])
         self._n_depth_cache = int(packed[18])
@@ -858,7 +881,10 @@ class Tracker:
             # against the reference window / relocalizes against the map
             self._finish_pending_kf()
             # TrackReferenceKeyFrame fallback on the already-extracted feats
+            _t0 = _time.perf_counter()
             alt = self._track_reference_keyframe(out.feats)
+            if self.timer is not None:
+                self.timer.add("ck.fallback", _time.perf_counter() - _t0)
             if alt is not None:
                 n_matches = int(alt.num_matched)
                 n_inliers = int(alt.num_inliers)
@@ -971,8 +997,37 @@ class Tracker:
                     r = self._track_frame_sync(feats, pts[i], stereo=True, relocalize=True)
                     self._completed.append(r)
                 self.frame_idx = saved
-        if self._chunk_buf:
-            # partial chunk at flush: complete the buffered frames through
+        if self._chunk_buf and self.state == TrackingState.OK and self._use_fused():
+            # partial chunk at flush: PAD to C by repeating the last frame
+            # and ride the already-compiled chunk program — the sync path
+            # here cost ~400 ms of first-use compiles + eager dispatches
+            # inside the timed drain (r5 loop profile: 10 in-loop
+            # backend_compile_and_load calls, all from this branch). Padded
+            # indices are tagged fidx=-1; the compute path skips their views
+            # so no FrameResult is fabricated for them.
+            buf, self._chunk_buf = self._chunk_buf, []
+            C = self._chunk_size()
+            last = buf[-1]
+            buf_p = buf + [(-1, last[1], last[2], last[3])] * (C - len(buf))
+            idxs = [b[0] for b in buf_p]
+            tss = [b[1] for b in buf_p]
+            if self._use_semidirect():
+                frames = np.ascontiguousarray(
+                    np.stack([buf_p[0][2], buf_p[0][3]] + [b[2] for b in buf_p[1:]])
+                )
+                host_pairs = [(b[2], b[3]) for b in buf_p]
+            else:
+                frames = np.ascontiguousarray(
+                    np.stack([np.stack([b[2], b[3]]) for b in buf_p])
+                )
+                host_pairs = None
+            if self._uploader is None:
+                self._uploader = AsyncUploader()
+            up = (idxs, tss, self._uploader.submit(frames), host_pairs)
+            self._chunk_compute(up)
+            self._resolve_fused()
+        elif self._chunk_buf:
+            # LOST / non-fused drain: complete the buffered frames through
             # the sync path (no new program shapes, exact same math)
             buf, self._chunk_buf = self._chunk_buf, []
             saved = self.frame_idx
