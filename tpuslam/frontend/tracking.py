@@ -859,7 +859,12 @@ class Tracker:
         if not self._fuse_queue:
             return
         if self._pending_kf is not None:
+            import time as _t_
+
+            _tf = _t_.perf_counter()
             self._finish_pending_kf(force=False)
+            if self.timer is not None:
+                self.timer.add("ck.rs_fin", _t_.perf_counter() - _tf)
         fidx, fts, out, lids, lvalid, plids, plvalid = self._fuse_queue.popleft()
         import time as _time
 
@@ -867,6 +872,7 @@ class Tracker:
         packed = np.asarray(out.packed)  # blocks on the chunk's d2h once
         if self.timer is not None:
             self.timer.add("ck.packed_wait", _time.perf_counter() - _t0)
+        _t_body = _time.perf_counter()
         n_matches = int(packed[16])
         n_inliers = int(packed[17])
         self._n_depth_cache = int(packed[18])
@@ -958,6 +964,8 @@ class Tracker:
                 fidx, fts, self.T_cw.copy(), self.state, n_matches, n_inliers, made_kf
             )
         )
+        if self.timer is not None:  # post-wait host share of one resolve
+            self.timer.add("ck.rs_body", _time.perf_counter() - _t_body)
 
     def _drain_fused(self):
         """Complete all in-flight fused frames (pipeline transition/flush)."""
